@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Driver benchmark: runs the headline queries on SPARK_GRAFT_SF_DIR and
+ * prints ONE JSON line. `value` = total seconds across queries; extra key
+ * `turns_per_sec` reports end-to-end dedup throughput (the BASELINE.md
+ * headline metric: full pipeline wall-clock over the synthetic transcript
+ * corpus at this sf).
+ */
 object Bench {
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = session(cpus)
+
+    // headline: end-to-end dedup pipeline throughput in turns/sec
+    val spec = SparkEntry.specFor(sfDir)
+    val corpus = sources.ConversationGen.corpus(spark, spec)
+    val nTurns = corpus.count() // materialize generation cost outside the timing
+    val t0 = System.nanoTime()
+    val result = operators.Pipeline.run(corpus, model.DedupConfig.balanced)
+    result.clusters.count()
+    val pipeSec = (System.nanoTime() - t0) / 1e9
+    val turnsPerSec = nTurns / pipeSec
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - q0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = (results :+ ("pipeline_e2e" -> pipeSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + pipeSec
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","n_turns":$nTurns,"turns_per_sec":${f"$turnsPerSec%.1f"}}""")
     spark.stop()
   }
 }

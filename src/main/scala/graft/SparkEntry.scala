@@ -1,13 +1,417 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.DedupConfig
+import graft.operators._
+import graft.sources.ConversationGen
+
+/**
+ * Driver contract: flagship entry + per-operator query battery + DuckDB
+ * oracle SQL. Query names map to the SURVEY.md §2 operator inventory (the
+ * id in each comment). Oracled queries are float-safe: double aggregation
+ * goes through per-row decimal casts (exact, order-independent sums) and
+ * rounded outputs, so Spark and DuckDB hash-match bit-for-bit.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared text normalization (F5/X7): identical in Spark + DuckDB ----
+  private def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+  private val normSql =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+  // ---- memoized dedup pipeline per (session, sf dir) ---------------------
+  private val pipeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pipeline.Result]()
+
+  /** Synthetic transcript corpus scale tied to the sf dir (BASELINE input_hint
+    * table is synthesized — no conversations table exists in testdata). */
+  def specFor(sfDir: String): ConversationGen.CorpusSpec =
+    if (sfDir.contains("0.001")) ConversationGen.smoke
+    else if (sfDir.contains("0.1")) ConversationGen.CorpusSpec(20000, 60, 400)
+    else ConversationGen.CorpusSpec(1000, 12, 60)
+
+  def pipelineFor(spark: SparkSession, sfDir: String): Pipeline.Result =
+    pipeCache.computeIfAbsent(System.identityHashCode(spark) + "|" + sfDir, _ => {
+      Pipeline.run(ConversationGen.corpus(spark, specFor(sfDir)), DedupConfig.balanced)
+    })
+
+  /** Flagship: full dedup pipeline (reassembly → MinHash/LSH → verify →
+    * tiers) on the smoke corpus; rows > 0 because planted dups are found. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pipelineFor(spark, "/root/testdata/sf0.001").tiered.toDF()
+
+  // =======================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- flagship dedup pipeline over synthesized transcripts (no SQL
+    //      oracle — MinHash/LSH not expressible in DuckDB; rows-only) -----
+    "flag_dedup_candidates" -> ((s, d) => pipelineFor(s, d).candidates.toDF()), // J3/J4
+    "flag_dedup_verified" -> ((s, d) => pipelineFor(s, d).verified.toDF()),     // J5/X8/X15
+    "flag_dedup_tiers" -> ((s, d) => pipelineFor(s, d).tiered.toDF()),          // T1/T2/X12
+    "flag_dedup_clusters" -> ((s, d) => pipelineFor(s, d).clusters.toDF()),     // §2.12 CC
+    "flag_run_metrics" -> ((s, d) => {                                          // S5/A4
+      import s.implicits._
+      s.createDataset(pipelineFor(s, d).metrics).toDF()
+        .select($"stage", $"input_count", $"output_count")
+    }),
+
+    // ---- dedup operators over the documents table (oracled) -------------
+    // exact dedup via content fingerprint hash-groupBy (S3 sink shape; the
+    // `checked`-set pair dedup semantics, ai_...AUTO.py:4034-4045)
+    "dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy(md5($"text").as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+    }),
+    // normalization-invariant dedup (X7 canonicalization before compare)
+    "dedup_norm" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy(md5(normText($"text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
+    }),
+    // n-gram Jaccard theta self-join (J3 candidate join, exact small-n path)
+    "ngram_jaccard_pairs" -> ((s, d) => {
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select($"doc_id", split(normText($"text"), " ").as("toks"))
+      val grams = toks.select($"doc_id",
+          explode(when(size($"toks") >= 3,
+            array_distinct(transform(sequence(lit(1), size($"toks") - 2),
+              i => concat_ws(" ", element_at($"toks", i),
+                element_at($"toks", i + 1), element_at($"toks", i + 2)))))
+            .otherwise(array().cast("array<string>"))).as("sh"))
+      val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a").join(grams.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+        .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+        .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+        .filter($"jac" >= 0.05)
+        .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
+    }),
+    // document fingerprinting (X2 analog: content hash + token count)
+    "doc_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select($"doc_id",
+        md5(normText($"text")).as("fp"),
+        size(split(normText($"text"), " ")).cast("long").as("n_tokens"))
+    }),
+    // text quality scoring (F5 noise-field analog: length/punct/stopword)
+    "text_quality" -> ((s, d) => {
+      import s.implicits._
+      val norm = normText($"text")
+      val nTok = size(split(norm, " ")).cast("double")
+      val spaced = concat(lit(" "), norm, lit(" "))
+      def cnt(w: String) =
+        (length(spaced) - length(regexp_replace(spaced, s" $w ", " "))).cast("double") / (w.length + 1)
+      t(s, d, "documents").select($"doc_id",
+        nTok.cast("long").as("n_tokens"),
+        round(length(regexp_replace($"text", "[a-zA-Z0-9 ]", "")).cast("double")
+          / length($"text"), 6).as("punct_ratio"),
+        round((cnt("the") + cnt("a")) / nTok, 6).as("stopword_ratio"),
+        round(least(nTok / lit(100.0), lit(1.0)), 6).as("len_score"))
+    }),
+    // language-ID n-gram/marker heuristic (X11 modality-routing analog)
+    "lang_id" -> ((s, d) => {
+      import s.implicits._
+      val spaced = concat(lit(" "), normText($"text"), lit(" "))
+      def cnt(w: String) =
+        ((length(spaced) - length(regexp_replace(spaced, s" $w ", " "))) / (w.length + 1)).cast("int")
+      val en = (cnt("the") + cnt("a") + cnt("of")).as("en_score")
+      val de = (cnt("der") + cnt("die") + cnt("und")).as("de_score")
+      val fr = (cnt("le") + cnt("la") + cnt("et")).as("fr_score")
+      t(s, d, "documents").select($"doc_id", en, de, fr)
+        .withColumn("predicted_lang",
+          when($"en_score" >= $"de_score" && $"en_score" >= $"fr_score" && $"en_score" > 0, "en")
+            .when($"de_score" >= $"fr_score" && $"de_score" > 0, "de")
+            .when($"fr_score" > 0, "fr")
+            .otherwise("unknown"))
+    }),
+    // token counting: whitespace + BPE-ish regex segmentation
+    "token_count" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select($"doc_id",
+        size(split(normText($"text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"))
+    }),
+
+    // ---- similarity search over embeddings -------------------------------
+    // brute-force cosine top-k (X9 NCC analog; baseline ANN path)
+    "ann_cosine_topk" -> ((s, d) => {
+      import s.implicits._
+      val v = t(s, d, "embeddings").select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("e"))
+      val n = v.withColumn("nrm",
+        sqrt(aggregate(transform($"e", x => x * x), lit(0.0), (acc, x) => acc + x)))
+      val q = n.filter($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"))
+      val p = q.join(n.hint("broadcast"), $"vec_id" =!= $"q_id")
+        .withColumn("cos",
+          aggregate(zip_with($"qe", $"e", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+            / ($"qn" * $"nrm"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      p.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
+        .select($"q_id", $"vec_id".as("n_id"), $"rnk", round($"cos", 6).as("cosine"))
+    }),
+
+    // ---- classic analytics battery (coverage of §2.2/2.5/2.6/2.7/2.8) ----
+    // wide agg with decimal-exact sums + pushed-down scan (A1/A4)
+    "q1_agg" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").groupBy($"l_returnflag", $"l_linestatus").agg(
+        sum($"l_quantity".cast("bigint")).as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+    }),
+    // broadcast dim join + agg (J6 merge shape / broadcast discipline)
+    "q_join_agg" -> ((s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy($"c_mktsegment").agg(
+          count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+    }),
+    // per-key top-k via ranking window (W3 top-k neighbors analog)
+    "q_window_topk" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, d, "orders").withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rnk")
+    }),
+    // global top-k (F4 sort-desc cap → TakeOrderedAndProject)
+    "q_topk_global" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100).select($"o_orderkey", $"o_totalprice")
+    }),
+    // anti join (§2.8 new-rows-only semantics): customers with no big order
+    "q_anti_join" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").join(
+          t(s, d, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name")
+    }),
+    // semi join + rollup per nation (§2.8 trigger-set semantics)
+    "q_semi_join" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_customers"))
+    }),
+    // union + distinct (§2.8 pair-table union dedup)
+    "q_union_dedup" -> ((s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders")
+      o.filter($"o_totalprice" > 400000).select($"o_custkey")
+        .union(o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"))
+        .distinct()
+    }),
+    // event-time tumbling agg (streaming-shape batch analog, §2.10)
+    "q_events_hourly" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events").groupBy(
+          date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+    // per-entity z-score with exact decimal moments (X12/A1 z-score kernel)
+    "q_user_zscore" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "events")
+      val stats = e.groupBy($"user_id".as("uid")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("s1"),
+        sum(($"value".cast("decimal(18,2)") * $"value".cast("decimal(18,2)")))
+          .cast("double").as("s2"))
+      e.join(stats, e("user_id") === stats("uid"))
+        .withColumn("mu", $"s1" / $"n")
+        .withColumn("variance", $"s2" / $"n" - $"mu" * $"mu")
+        .filter($"variance" > 1e-12)
+        .select($"event_id", $"user_id",
+          round(($"value" - $"mu") / sqrt($"variance"), 4).as("z"))
+    }),
+    // sessionization via lag window (W1/W5 sequential-ordering analog)
+    "q_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, d, "events")
+        .withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev") > 1800, 1L).otherwise(0L))
+        .groupBy($"user_id").agg(
+          sum($"new_sess").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    })
+  )
+
+  // =======================================================================
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS min_doc
+         FROM documents GROUP BY 1""",
+    "dedup_norm" ->
+      s"""SELECT md5($normSql) AS fp, count(*) AS n_docs, min(doc_id) AS min_doc
+          FROM documents GROUP BY 1""",
+    "ngram_jaccard_pairs" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+          g AS (
+            SELECT DISTINCT doc_id,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+            FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i)),
+          sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+          i AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+            round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+          FROM i
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b
+          WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05""",
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp,
+            len(string_split($normSql, ' '))::BIGINT AS n_tokens
+          FROM documents""",
+    "text_quality" ->
+      s"""WITH b AS (
+            SELECT doc_id, text, ' ' || $normSql || ' ' AS sp,
+              len(string_split($normSql, ' '))::DOUBLE AS nt
+            FROM documents)
+          SELECT doc_id, nt::BIGINT AS n_tokens,
+            round(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+              / len(text), 6) AS punct_ratio,
+            round(((len(sp) - len(replace(sp, ' the ', ' '))) / 4.0
+                 + (len(sp) - len(replace(sp, ' a ', ' '))) / 2.0) / nt, 6)
+              AS stopword_ratio,
+            round(least(nt / 100.0, 1.0), 6) AS len_score
+          FROM b""",
+    "lang_id" ->
+      s"""WITH b AS (
+            SELECT doc_id, ' ' || $normSql || ' ' AS sp FROM documents),
+          c AS (
+            SELECT doc_id,
+              ((len(sp)-len(replace(sp,' the ',' ')))/4
+               + (len(sp)-len(replace(sp,' a ',' ')))/2
+               + (len(sp)-len(replace(sp,' of ',' ')))/3)::INT AS en_score,
+              ((len(sp)-len(replace(sp,' der ',' ')))/4
+               + (len(sp)-len(replace(sp,' die ',' ')))/4
+               + (len(sp)-len(replace(sp,' und ',' ')))/4)::INT AS de_score,
+              ((len(sp)-len(replace(sp,' le ',' ')))/3
+               + (len(sp)-len(replace(sp,' la ',' ')))/3
+               + (len(sp)-len(replace(sp,' et ',' ')))/3)::INT AS fr_score
+            FROM b)
+          SELECT doc_id, en_score, de_score, fr_score,
+            CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score > 0 THEN 'en'
+                 WHEN de_score >= fr_score AND de_score > 0 THEN 'de'
+                 WHEN fr_score > 0 THEN 'fr'
+                 ELSE 'unknown' END AS predicted_lang
+          FROM c""",
+    "token_count" ->
+      s"""SELECT doc_id,
+            len(string_split($normSql, ' '))::BIGINT AS ws_tokens,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+          FROM documents""",
+    "ann_cosine_topk" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         p AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_sum(list_transform(range(1, len(q.e) + 1),
+               i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cos
+           FROM n q, n c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         r AS (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+           FROM p)
+         SELECT q_id, n_id, rnk, round(cos, 6) AS cosine FROM r WHERE rnk <= 5""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::BIGINT) AS sum_qty,
+           sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base,
+           sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue,
+           count(*) AS n
+         FROM lineitem GROUP BY 1, 2""",
+    "q_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders) WHERE rnk <= 3""",
+    "q_topk_global" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""",
+    "q_semi_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         GROUP BY 1""",
+    "q_union_dedup" ->
+      """SELECT DISTINCT o_custkey FROM (
+           SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+           UNION ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""",
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q_user_zscore" ->
+      """WITH s AS (
+           SELECT user_id AS uid, count(*)::DOUBLE AS n,
+             sum(value::DECIMAL(18,2))::DOUBLE AS s1,
+             sum(value::DECIMAL(18,2) * value::DECIMAL(18,2))::DOUBLE AS s2
+           FROM events GROUP BY 1),
+         j AS (
+           SELECT event_id, user_id, value, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS variance
+           FROM events JOIN s ON user_id = uid)
+         SELECT event_id, user_id,
+           round((value - mu) / sqrt(variance), 4) AS z
+         FROM j WHERE variance > 1e-12""",
+    "q_sessionize" ->
+      """WITH l AS (
+           SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (
+           SELECT user_id,
+             CASE WHEN prev IS NULL
+                    OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+           FROM l)
+         SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+           count(*) AS n_events
+         FROM f GROUP BY 1"""
+  )
 }

@@ -1,0 +1,268 @@
+package graft.functions
+
+import scala.collection.mutable
+
+/**
+ * The batched signature kernel: normalization, tokenization, shingling,
+ * MinHash, SimHash — pure JVM functions invoked from `mapPartitions` so the
+ * hot path is a single narrow pass per document with zero shuffle
+ * (the Spark re-expression of the reference's batched CLIP/pHash kernels,
+ * /root/reference/duplicate_detector/core/similarity_engine.py:107-139 and
+ * :313-356; batching per partition mirrors its batch-size-64 loop).
+ *
+ * Everything here is deterministic: fixed seeds, no per-task state.
+ */
+object TextKernel {
+
+  final val ShingleSeed = 0x5CA1AB1E0FF1CE00L
+  final val TokenSeed   = 0x7E57DA7A5EEDL
+
+  /**
+   * Canonicalize text before shingling — the text analog of the reference's
+   * photometric normalization (similarity_engine.py:590-637): NFC, lower,
+   * collapse whitespace, strip punctuation runs to single spaces.
+   */
+  def normalize(text: String): String = {
+    if (text == null) return ""
+    val nfc = java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var prevSpace = true
+    var i = 0
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      if (Character.isLetterOrDigit(c)) {
+        sb.append(Character.toLowerCase(c)); prevSpace = false
+      } else if (!prevSpace) {
+        sb.append(' '); prevSpace = true
+      }
+      i += 1
+    }
+    var n = sb.length
+    while (n > 0 && sb.charAt(n - 1) == ' ') n -= 1
+    sb.substring(0, n)
+  }
+
+  /** Whitespace tokenization of already-normalized text. */
+  def tokens(normText: String): Array[String] = {
+    if (normText.isEmpty) Array.empty
+    else normText.split(' ')
+  }
+
+  /**
+   * Distinct word-k-gram shingle hashes (64-bit). Rolling re-hash of k
+   * token hashes — the generator pattern of the reference's sliding
+   * micro-tiles (tile_first_pipeline.py:55-94) in text space.
+   * Documents shorter than k tokens yield one whole-text shingle so short
+   * docs still participate.
+   */
+  def shingleSet(toks: Array[String], k: Int): Array[Long] = {
+    if (toks.isEmpty) return Array.empty
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = Hashing.xxh64(toks(i), TokenSeed); i += 1 }
+    val set = new mutable.HashSet[Long]
+    if (toks.length < k) {
+      var h = ShingleSeed
+      i = 0
+      while (i < toks.length) { h = Hashing.xxh64Long(th(i), h); i += 1 }
+      set += h
+    } else {
+      i = 0
+      while (i + k <= toks.length) {
+        var h = ShingleSeed
+        var j = i
+        while (j < i + k) { h = Hashing.xxh64Long(th(j), h); j += 1 }
+        set += h
+        i += 1
+      }
+    }
+    val out = set.toArray
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /**
+   * MinHash signature over a shingle set with multiply-shift permutations.
+   * Returns numPerms longs. Empty set → Long.MaxValue sentinel signature.
+   */
+  def minhash(shingles: Array[Long], a: Array[Long], b: Array[Long]): Array[Long] = {
+    val n = a.length
+    val sig = new Array[Long](n)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val s = shingles(i)
+      var p = 0
+      while (p < n) {
+        val h = a(p) * s + b(p)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard from two MinHash signatures (fraction of agreeing perms). */
+  def minhashEstimate(sa: Array[Long], sb: Array[Long]): Double = {
+    var eq = 0; var i = 0
+    while (i < sa.length) { if (sa(i) == sb(i)) eq += 1; i += 1 }
+    eq.toDouble / sa.length
+  }
+
+  /**
+   * LSH band keys: signature split into b bands of r rows, each band hashed
+   * to one 64-bit key mixed with the band index (so identical row values in
+   * different bands never collide) — the Spark analog of the reference's
+   * hash-prefix bucketing (ai_...AUTO.py:4002-4069).
+   */
+  def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var h = Hashing.mix64(0xBADBEEFL + bnd)
+      var r = bnd * rows
+      val end = r + rows
+      while (r < end) { h = Hashing.xxh64Long(sig(r), h); r += 1 }
+      out(bnd) = h
+      bnd += 1
+    }
+    out
+  }
+
+  /**
+   * 64-bit SimHash over token frequencies — the text analog of the
+   * reference's perceptual DCT hash (ai_...AUTO.py:3930-3944): weighted
+   * bit-vote over per-token 64-bit hashes.
+   */
+  def simhash64(toks: Array[String]): Long = {
+    if (toks.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    val freq = new mutable.HashMap[String, Int]
+    var i = 0
+    while (i < toks.length) { freq.update(toks(i), freq.getOrElse(toks(i), 0) + 1); i += 1 }
+    freq.foreach { case (t, w) =>
+      val h = Hashing.xxh64(t, TokenSeed)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += w else votes(bit) -= w
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  @inline def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+
+  /**
+   * Min Hamming across two fingerprint bundles with short-circuit ≤ cutoff —
+   * mirrors hamming_min_transform (similarity_engine.py:359-400).
+   */
+  def minHammingBundle(as: Array[Long], bs: Array[Long], cutoff: Int): Int = {
+    var best = 64
+    var i = 0
+    while (i < as.length) {
+      var j = 0
+      while (j < bs.length) {
+        val d = hamming(as(i), bs(j))
+        if (d < best) { best = d; if (best <= cutoff) return best }
+        j += 1
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays (merge scan, no alloc). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /**
+   * Bottom-k sketch of a sorted shingle array under a fixed permutation:
+   * keep the k smallest values of mix64(s). Deterministic size cap per
+   * document (reference analog: TILE_MAX_TILES_PER_PANEL,
+   * tile_detection.py:36) — bounds verify-join payloads at 100 TB while
+   * keeping Jaccard estimable.
+   */
+  def bottomK(shingles: Array[Long], k: Int): Array[Long] = {
+    if (shingles.length <= k) return shingles
+    val mixed = shingles.map(Hashing.mix64)
+    java.util.Arrays.sort(mixed)
+    val kept = java.util.Arrays.copyOfRange(mixed, 0, k)
+    kept // stays in mixed space; jaccard of bottom-k sketches is computed in mixed space on both sides
+  }
+
+  /**
+   * Longest common substring length (in characters) between two strings via
+   * binary search over rolling-hash n-gram sets — the text-space analog of
+   * the reference's suffix/lane span matching (wb_lane_normalization.py).
+   * O((|a|+|b|) log min(|a|,|b|)). Hash-set equality is verified only
+   * probabilistically (128-bit-ish via two seeds) — collision odds
+   * negligible for evidence scoring.
+   */
+  def longestCommonSubstring(a: String, b: String): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    var lo = 1; var hi = s.length; var best = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (hasCommonSub(s, t, mid)) { best = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    best
+  }
+
+  private def hasCommonSub(s: String, t: String, L: Int): Boolean = {
+    val seen = new mutable.HashSet[Long]
+    rollHashes(s, L).foreach(seen += _)
+    rollHashes(t, L).exists(seen.contains)
+  }
+
+  /** Polynomial rolling hashes of all L-grams of s (two seeds folded to one long). */
+  private def rollHashes(s: String, L: Int): Iterator[Long] = {
+    if (s.length < L) return Iterator.empty
+    val B1 = 1000000007L; val B2 = 998244353L
+    var h1 = 0L; var h2 = 0L
+    var p1 = 1L; var p2 = 1L
+    var i = 0
+    while (i < L) {
+      val c = s.charAt(i).toLong
+      h1 = h1 * B1 + c; h2 = h2 * B2 + c
+      if (i < L - 1) { p1 *= B1; p2 *= B2 }
+      i += 1
+    }
+    val first = Hashing.mix64(h1) ^ Hashing.mix64(h2 * 0x9E3779B97F4A7C15L)
+    var idx = L
+    val h1v = h1; val h2v = h2
+    new Iterator[Long] {
+      var cur1 = h1v; var cur2 = h2v
+      var emittedFirst = false
+      var pos = idx
+      def hasNext: Boolean = !emittedFirst || pos < s.length
+      def next(): Long = {
+        if (!emittedFirst) { emittedFirst = true; first }
+        else {
+          val out = s.charAt(pos - L).toLong
+          val in = s.charAt(pos).toLong
+          cur1 = (cur1 - out * p1) * B1 + in
+          cur2 = (cur2 - out * p2) * B2 + in
+          pos += 1
+          Hashing.mix64(cur1) ^ Hashing.mix64(cur2 * 0x9E3779B97F4A7C15L)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** One transcript turn — the authoritative input shape (BASELINE.json input_hint). */
+case class Turn(
+  conv_id: String,
+  turn_idx: Int,
+  role: String,
+  text: String,
+  tool: String,
+  ts: Timestamp)
+
+/** A reassembled conversation document (post window-over-turn_idx). */
+case class ConvDoc(
+  conv_id: String,
+  n_turns: Int,
+  doc_text: String)
+
+/**
+ * Per-document signature bundle — everything downstream stages need, computed
+ * in ONE narrow pass (graft.operators.Signatures). Sizes are capped so a row
+ * stays O(KB) regardless of conversation length (skew armor at 100 TB).
+ */
+case class DocSig(
+  conv_id: String,
+  n_turns: Int,
+  n_tokens: Int,
+  minhash: Array[Long],          // numPerms entries
+  bands: Array[Long],            // numBands LSH keys
+  simhash: Long,                 // canonical fingerprint
+  simhash_bundle: Array[Long],   // normalization-variant fingerprints (X3 analog)
+  sketch: Array[Long],           // bottom-k shingle sketch (sorted, mixed space)
+  block_sketches: Array[Array[Long]], // per-turn-block sketches for patchwise verify (X8 analog)
+  head_text: String)             // capped normalized text for span evidence (X15 analog)
+
+/** Candidate pair out of the LSH band join (SURVEY.md §2.4 J3/J4). */
+case class CandidatePair(
+  pair_key: String,
+  conv_a: String,
+  conv_b: String,
+  minhash_est: Double,
+  band_id: Int,
+  source: String)
+
+/** Verified pair with full evidence columns (FIXTURES.md §3). */
+case class VerifiedPair(
+  pair_key: String,
+  conv_a: String,
+  conv_b: String,
+  minhash_est: Double,
+  jaccard: Double,
+  jaccard_patch_topk: Double,
+  jaccard_patch_min: Double,
+  simhash_dist: Int,
+  bundle_dist: Int,
+  variant_matched: Boolean,
+  max_span_len: Int,
+  span_frac: Double,
+  source: String)
+
+/** Tiered pair after gating (T1/T2 analog). */
+case class TieredPair(
+  pair_key: String,
+  conv_a: String,
+  conv_b: String,
+  minhash_est: Double,
+  jaccard: Double,
+  jaccard_patch_topk: Double,
+  simhash_dist: Int,
+  bundle_dist: Int,
+  max_span_len: Int,
+  span_frac: Double,
+  clip_z_analog: Double,
+  tier: String,
+  tier_path: String,
+  source: String)
+
+/** Connected-component cluster assignment. */
+case class ClusterRow(conv_id: String, cluster_id: String, cluster_size: Long)
+
+/**
+ * Pipeline configuration — mirrors the reference's threshold constants
+ * (ai_pdf_panel_duplicate_check_AUTO.py:95-215) re-based onto text signals
+ * at the fixed shingle/signature config from SURVEY.md §7.
+ */
+case class DedupConfig(
+  shingleK: Int = 5,             // word k-grams (SURVEY.md §7 fixed config)
+  numPerms: Int = 128,           // MinHash permutations
+  bands: Int = 64,               // LSH bands (b); b=64 × r=2 ⇒ LSH threshold
+  rows: Int = 2,                 //   (1/b)^(1/r) ≈ 0.125 — catches the weakest
+                                 //   planted transform (subst10, J ≈ 0.42 at
+                                 //   k=5) with P(miss) < 1e-5; recall ≥ 0.99
+  minhashSeed: Long = 123L,      // set_seeds(123) parity (ai_...AUTO.py:344)
+  sketchK: Int = 1024,           // bottom-k sketch size per doc (payload cap)
+  numBlocks: Int = 9,            // patch grid 3x3 analog (similarity_engine.py:712)
+  blockSketchK: Int = 256,
+  patchTopK: Int = 4,            // SSIM top-k patch mean k (similarity_engine.py:763-771)
+  headChars: Int = 8000,         // capped text for span evidence
+  simThreshold: Double = 0.25,   // candidate keep threshold on est-Jaccard (F1);
+                                 //   ≥6σ below the weakest true-dup J (0.42)
+  simhashMaxDist: Int = 3,       // PHASH_MAX_DIST=3 parity (ai_...AUTO.py:95)
+  bandBucketCap: Int = 2000,     // per-band bucket size cap (skew armor; reference caps output 120k)
+  maxOutputPairs: Int = 120000,  // CLIP_MAX_OUTPUT_PAIRS (ai_...AUTO.py:99)
+  tierAJaccard: Double = 0.90,   // strict path ≙ CLIP≥0.99 ∧ SSIM≥0.95
+  tierARelaxJaccard: Double = 0.78, // relaxed path ≙ CLIP≥0.94 ∧ SSIM≥0.65 ∧ sum≥1.62
+  tierARelaxSum: Double = 1.45,  // minhash_est + jaccard floor on relaxed path
+  tierBJaccard: Double = 0.32,   // ≥6σ below subst10's J, far above hard-negative J (~0.01)
+  spanMinLen: Int = 200,         // exact-substring Tier-A evidence
+  spanMinFrac: Double = 0.30,
+  zVeto: Double = 1.5,           // template-lookalike veto (CLIP_Z analog, ai_...AUTO.py:870-885)
+  ccMaxIters: Int = 25,
+  cacheVersion: String = "v1")
+
+object DedupConfig {
+  /** Presets mirroring models/config.py:222-265 (fast/balanced/thorough). */
+  val balanced: DedupConfig = DedupConfig()
+  val fast: DedupConfig = DedupConfig(numPerms = 64, bands = 32, rows = 2, sketchK = 512)
+  /** High-precision preset: LSH threshold ≈ 0.71 — the SURVEY.md §7 b=16×r=8
+    * banding for corpora where only strong near-dups matter (cheaper join). */
+  val precise: DedupConfig = DedupConfig(
+    bands = 16, rows = 8, simThreshold = 0.71, tierBJaccard = 0.60)
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/**
+ * End-to-end dedup pipeline orchestration with checkpoint/resume and
+ * per-stage funnel metrics (SURVEY.md §3.1 Spark shape, §2.1 S4/S5).
+ *
+ * Resume: each stage optionally persists to
+ *   {checkpointDir}/{cacheVersion}/{inputHash}/{stage}
+ * with a _SUCCESS marker from the parquet commit protocol; a re-run with the
+ * same input + config reads the stage table instead of recomputing — the
+ * Spark port of the reference's versioned cache with input-hash invalidation
+ * (/root/reference/duplicate_detector/core/similarity_engine.py:40-62,
+ * 142-206): different input or cacheVersion → different directory → cold run.
+ *
+ * Metrics mirror PipelineMetrics (ai_...AUTO.py:390-452): per-stage
+ * input/output counts + duration, written as JSON next to the checkpoints
+ * (per-run lineage, north_rule requirement).
+ */
+object Pipeline {
+
+  case class StageMetric(run_id: String, stage: String, input_count: Long,
+                         output_count: Long, duration_ms: Long, ts: String)
+
+  case class Result(
+    inputHash: String,
+    sigs: Dataset[DocSig],
+    candidates: Dataset[CandidatePair],
+    verified: Dataset[VerifiedPair],
+    tiered: Dataset[TieredPair],
+    clusters: Dataset[ClusterRow],
+    metrics: Seq[StageMetric])
+
+  /** Deterministic input fingerprint: order-independent aggregate of per-row
+    * hashes (≙ the reference's MD5 over (path, mtime, size) of all inputs). */
+  def inputFingerprint(turns: Dataset[Turn]): String = {
+    val row = turns
+      .select(xxhash64(col("conv_id"), col("turn_idx"), col("text")).as("h"))
+      .agg(bit_xor(col("h")).as("s"), count(lit(1)).as("n")) // xor: order-independent, ANSI-overflow-safe
+      .head()
+    f"${row.getLong(0)}%016x_${row.getLong(1)}"
+  }
+
+  private def stagePath(dir: String, cfg: DedupConfig, hash: String, stage: String) =
+    s"$dir/${cfg.cacheVersion}/$hash/$stage"
+
+  private def hasCheckpoint(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Run (or resume) one stage: load checkpoint if present, else compute and
+    * persist. Returns the stage Dataset plus whether it was a cache hit. */
+  private def stage[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, dirOpt: Option[String], cfg: DedupConfig,
+      hash: String, name: String)(compute: => Dataset[T]): (Dataset[T], Boolean) = {
+    dirOpt match {
+      case Some(dir) =>
+        val path = stagePath(dir, cfg, hash, name)
+        if (hasCheckpoint(spark, path)) {
+          (spark.read.parquet(path).as[T], true)
+        } else {
+          compute.write.mode(SaveMode.Overwrite).parquet(path)
+          (spark.read.parquet(path).as[T], false)
+        }
+      case None => (compute.persist(), false) // share work across downstream actions
+    }
+  }
+
+  def run(turns: Dataset[Turn], cfg: DedupConfig = DedupConfig.balanced,
+          checkpointDir: Option[String] = None,
+          runId: String = "run"): Result = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val metrics = scala.collection.mutable.ArrayBuffer[StageMetric]()
+
+    def timed[T](stageName: String, inputCount: => Long)(body: => Dataset[T]): Dataset[T] = {
+      val t0 = System.nanoTime()
+      val out = body
+      val n = out.count() // materialize + funnel count (A4 analog)
+      metrics += StageMetric(runId, stageName, inputCount, n,
+        (System.nanoTime() - t0) / 1000000L, java.time.Instant.now.toString)
+      out
+    }
+
+    val hash = inputFingerprint(turns)
+    val nTurns = turns.count()
+
+    val (sigsCk, _) = stage(spark, checkpointDir, cfg, hash, "sigs") {
+      Signatures.compute(Reassembly.assemble(turns), cfg)
+    }
+    val sigs = if (checkpointDir.isEmpty) sigsCk.persist() else sigsCk
+    val nDocs = sigs.count()
+    metrics += StageMetric(runId, "signatures", nTurns, nDocs, 0L,
+      java.time.Instant.now.toString)
+
+    val (cands, _) = stage(spark, checkpointDir, cfg, hash, "candidates") {
+      timed("candidates", nDocs) { LshJoin.candidates(sigs, cfg) }
+    }
+    val (verified, _) = stage(spark, checkpointDir, cfg, hash, "verified") {
+      timed("verified", cands.count()) { Verification.verify(cands, sigs, cfg) }
+    }
+    val (tiered, _) = stage(spark, checkpointDir, cfg, hash, "tiered") {
+      timed("tiered", verified.count()) { TierGate(verified, cfg) }
+    }
+    val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
+      .select($"conv_a", $"conv_b")
+    val (clusters, _) = stage(spark, checkpointDir, cfg, hash, "clusters") {
+      timed("clusters", dupEdges.count()) {
+        ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters)
+      }
+    }
+
+    checkpointDir.foreach { dir =>
+      val mdf = spark.createDataset(metrics.toSeq)
+      mdf.coalesce(1).write.mode(SaveMode.Overwrite)
+        .json(stagePath(dir, cfg, hash, s"run_metrics_$runId"))
+    }
+
+    Result(hash, sigs, cands, verified, tiered, clusters, metrics.toSeq)
+  }
+}

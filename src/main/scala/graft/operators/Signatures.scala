@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import graft.functions.{Hashing, TextKernel}
+import graft.model.{ConvDoc, DedupConfig, DocSig}
+
+/**
+ * Batched per-document signature kernel (SURVEY.md §2.3 X1-X3): ONE narrow
+ * mapPartitions pass computes, per conversation document —
+ *   - normalized text + token stream
+ *   - word-k-gram shingle set (64-bit hashes)
+ *   - MinHash signature (numPerms multiply-shift permutations)
+ *   - LSH band keys
+ *   - SimHash fingerprint + normalization-variant bundle (X3 analog of the
+ *     reference's 8-transform pHash bundle, similarity_engine.py:325-356)
+ *   - bottom-k shingle sketch + per-block sketches (verification payload)
+ *   - capped head text (span evidence payload)
+ *
+ * No shuffle: signatures are pure functions of the document. Permutation
+ * params are derived from (seed, perm index) on each executor — never from
+ * task identity — so output is identical at any parallelism
+ * (SURVEY.md §7 hard part (e)).
+ */
+object Signatures {
+
+  def compute(docs: Dataset[ConvDoc], cfg: DedupConfig): Dataset[DocSig] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = cfg.shingleK; val nPerms = cfg.numPerms
+    val bands = cfg.bands; val rows = cfg.rows
+    val seed = cfg.minhashSeed
+    val sketchK = cfg.sketchK; val nBlocks = cfg.numBlocks
+    val blockK = cfg.blockSketchK; val headChars = cfg.headChars
+    docs.mapPartitions { it =>
+      // per-partition init — computed once, identical everywhere
+      val (pa, pb) = Hashing.minhashParams(nPerms, seed)
+      it.map { d =>
+        val norm = TextKernel.normalize(d.doc_text)
+        val toks = TextKernel.tokens(norm)
+        val shingles = TextKernel.shingleSet(toks, k)
+        val sig = TextKernel.minhash(shingles, pa, pb)
+        val bandKeys = TextKernel.bandKeys(sig, bands, rows)
+        val sim = TextKernel.simhash64(toks)
+        // variant bundle: (canonical, role-line-stripped, head-only, tail-only)
+        // — normalization variants standing in for the reference's
+        // rotation/mirror transform bundle.
+        val lines = norm // already role-free; variants over token windows:
+        val nT = toks.length
+        val headToks = java.util.Arrays.copyOfRange(toks, 0, math.min(nT, math.max(1, nT / 2)))
+        val tailToks = java.util.Arrays.copyOfRange(toks, nT - math.min(nT, math.max(1, nT / 2)), nT)
+        val bundle = Array(sim,
+          TextKernel.simhash64(headToks),
+          TextKernel.simhash64(tailToks),
+          TextKernel.simhash64(toks.distinct))
+        val sketch = {
+          val s = TextKernel.bottomK(shingles, sketchK)
+          // bottomK of a full set returns raw (unmixed) shingles when small;
+          // normalize both cases into mixed space so jaccard compares equal spaces
+          if (shingles.length <= sketchK) {
+            val m = shingles.map(Hashing.mix64); java.util.Arrays.sort(m); m
+          } else s
+        }
+        // per-block sketches: nBlocks equal token slices (patch grid analog)
+        val blockSk = new Array[Array[Long]](nBlocks)
+        var bi = 0
+        while (bi < nBlocks) {
+          val lo = (nT.toLong * bi / nBlocks).toInt
+          val hi = (nT.toLong * (bi + 1) / nBlocks).toInt
+          val bt = if (hi > lo) java.util.Arrays.copyOfRange(toks, lo, hi)
+                   else Array.empty[String]
+          val bs = TextKernel.shingleSet(bt, k)
+          val capped =
+            if (bs.length <= blockK) { val m = bs.map(Hashing.mix64); java.util.Arrays.sort(m); m }
+            else TextKernel.bottomK(bs, blockK)
+          blockSk(bi) = capped
+          bi += 1
+        }
+        val head = if (lines.length <= headChars) lines else lines.substring(0, headChars)
+        DocSig(d.conv_id, d.n_turns, nT, sig, bandKeys, sim, bundle, sketch, blockSk, head)
+      }
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import graft.functions.TextKernel
+import graft.model._
+
+/**
+ * Candidate-pair verification (SURVEY.md §2.3 X4/X8/X15, §2.4 J5): the
+ * salted-repartition candidate-pair join pulling per-doc signature payloads
+ * to the verifiers, then a narrow evidence map per pair.
+ *
+ * Evidence computed per pair —
+ *   - exact Jaccard of bottom-k shingle sketches (global SSIM analog)
+ *   - per-block Jaccard, top-k mean + min (3x3 patch-grid SSIM analog,
+ *     /root/reference/duplicate_detector/core/similarity_engine.py:640-797)
+ *   - SimHash Hamming distance + min-over-bundle distance with short-circuit
+ *     (hamming_min_transform analog, similarity_engine.py:359-400)
+ *   - longest-common-substring span over capped head text — computed ONLY on
+ *     triggered pairs (progressive gating: the reference runs ORB only on
+ *     CLIP≥0.985 ∨ pHash≤4 triggers, geometric_verifier.py:424-441; here the
+ *     expensive span check runs only where cheap evidence is inconclusive)
+ *
+ * Scale notes: pairs are repartitioned on the uniform pair_key hash so heavy
+ * conversations never hot-spot one task (north_rule salting requirement);
+ * the two payload joins are plain shuffled hash joins with AQE skew
+ * splitting; per-pair work is bounded by the sketch caps and headChars.
+ */
+object Verification {
+
+  private case class Payload(
+    conv_id: String, simhash: Long, simhash_bundle: Array[Long],
+    sketch: Array[Long], block_sketches: Array[Array[Long]],
+    head_text: String, n_tokens: Int)
+
+  def verify(pairs: Dataset[CandidatePair], sigs: Dataset[DocSig],
+             cfg: DedupConfig): Dataset[VerifiedPair] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    val payload = sigs.select($"conv_id", $"simhash", $"simhash_bundle",
+      $"sketch", $"block_sketches", $"head_text", $"n_tokens")
+
+    def side(s: String) = payload.toDF(payload.columns.map(_ + s): _*)
+
+    val joined = pairs.toDF()
+      .repartition(col("pair_key")) // salted even spread of pair work
+      .join(side("_a"), col("conv_a") === col("conv_id_a"))
+      .join(side("_b"), col("conv_b") === col("conv_id_b"))
+
+    val topK = cfg.patchTopK
+    val strictJ = cfg.tierAJaccard
+    val cutoff = cfg.simhashMaxDist
+
+    joined.select(
+        $"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"source",
+        $"simhash_a", $"simhash_bundle_a", $"sketch_a", $"block_sketches_a",
+        $"head_text_a", $"n_tokens_a",
+        $"simhash_b", $"simhash_bundle_b", $"sketch_b", $"block_sketches_b",
+        $"head_text_b", $"n_tokens_b")
+      .as[(String, String, String, Double, String,
+           Long, Array[Long], Array[Long], Array[Array[Long]], String, Int,
+           Long, Array[Long], Array[Long], Array[Array[Long]], String, Int)]
+      .map { case (pk, a, b, est, src,
+                   shA, bunA, skA, blkA, headA, _,
+                   shB, bunB, skB, blkB, headB, _) =>
+        val jac = TextKernel.jaccardSorted(skA, skB)
+        val nBlk = math.min(blkA.length, blkB.length)
+        val blockJ = new Array[Double](nBlk)
+        var i = 0
+        while (i < nBlk) { blockJ(i) = TextKernel.jaccardSorted(blkA(i), blkB(i)); i += 1 }
+        java.util.Arrays.sort(blockJ)
+        var s = 0.0; var c = 0; var j = nBlk - 1
+        while (j >= 0 && c < topK) { s += blockJ(j); c += 1; j -= 1 }
+        val patchTopK = if (c == 0) 0.0 else s / c
+        val patchMin = if (nBlk == 0) 0.0 else blockJ(0)
+        val shDist = TextKernel.hamming(shA, shB)
+        val bunDist = TextKernel.minHammingBundle(bunA, bunB, cutoff)
+        // progressive gating: expensive span check only when cheap evidence
+        // is inconclusive but the pair is plausible
+        val needSpan = jac < strictJ && bunDist > cutoff && est >= 0.15
+        val span = if (needSpan) TextKernel.longestCommonSubstring(headA, headB) else 0
+        val minLen = math.max(1, math.min(headA.length, headB.length))
+        VerifiedPair(pk, a, b, est, jac, patchTopK, patchMin, shDist, bunDist,
+          variant_matched = bunDist <= cutoff,
+          max_span_len = span, span_frac = span.toDouble / minLen, source = src)
+      }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import graft.model._
+import graft.operators._
+import graft.sources.ConversationGen
+
+/**
+ * Checkpoint/resume acceptance (FIXTURES.md §4, BASELINE.md "Resume"):
+ * stage tables keyed (cacheVersion, inputHash) mirror the reference's
+ * versioned cache with input-hash invalidation
+ * (/root/reference/duplicate_detector/core/similarity_engine.py:40-62).
+ */
+class ResumeSpec extends SparkSpec {
+
+  private def tmpDir() =
+    Files.createTempDirectory("graft_ck_").toAbsolutePath.toString
+
+  test("re-run with same input+config resumes from checkpoints, identical output") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val turns = ConversationGen.corpus(spark, ConversationGen.smoke)
+    val r1 = Pipeline.run(turns, DedupConfig.balanced, Some(dir), runId = "r1")
+    val t1 = r1.tiered.select($"pair_key", $"tier").as[(String, String)].collect().sorted.toSeq
+
+    // simulate kill after the candidate stage: later stages' checkpoints removed
+    val base = s"$dir/${DedupConfig.balanced.cacheVersion}/${r1.inputHash}"
+    def rm(stage: String): Unit = {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$base/$stage")).deleteRecursively()
+    }
+    rm("verified"); rm("tiered"); rm("clusters")
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/candidates/_SUCCESS")))
+
+    val r2 = Pipeline.run(turns, DedupConfig.balanced, Some(dir), runId = "r2")
+    val t2 = r2.tiered.select($"pair_key", $"tier").as[(String, String)].collect().sorted.toSeq
+    assert(t1 == t2, "resumed run must produce identical tier assignments")
+
+    // signature/candidate stages were NOT recomputed: 'candidates' metric
+    // absent from r2's stage metrics (cache hit skips the timed compute)
+    assert(!r2.metrics.exists(_.stage == "candidates"),
+      s"expected candidates cache hit; metrics=${r2.metrics.map(_.stage)}")
+  }
+
+  test("different cacheVersion or input invalidates the checkpoint") {
+    val dir = tmpDir()
+    val turns = ConversationGen.corpus(spark, ConversationGen.smoke)
+    val cfg = DedupConfig.balanced
+    Pipeline.run(turns, cfg, Some(dir), runId = "a")
+    // bump version → fresh namespace → recompute happens (metrics present)
+    val r2 = Pipeline.run(turns, cfg.copy(cacheVersion = "v2"), Some(dir), runId = "b")
+    assert(r2.metrics.exists(_.stage == "candidates"))
+    // different input → different hash namespace
+    val other = ConversationGen.corpus(spark,
+      ConversationGen.CorpusSpec(nBase = 120, nDupSources = 3, nHardNegPairs = 10))
+    val h1 = Pipeline.inputFingerprint(turns)
+    val h2 = Pipeline.inputFingerprint(other)
+    assert(h1 != h2)
+  }
+}
