@@ -247,6 +247,58 @@ object SparkEntry {
         .select($"event_id", $"user_id",
           round(($"value" - $"mu") / sqrt($"variance"), 4).as("z"))
     }),
+    // ---- signature expressions / custom-Expression operators -------------
+    // SimHash fingerprints + LSH chunk keys via custom codegen'd Expression
+    "simhash_docs" -> ((s, d) =>
+      DocDedup.simhashFingerprints(t(s, d, "documents"))),          // X2/X6
+    // thorough-mode near-pair sweep (J8 analog, gated small-n)
+    "simhash_near_pairs" -> ((s, d) =>
+      DocDedup.simhashNearPairs(t(s, d, "documents"))),             // X4/X5
+    // MinHash-LSH candidates on the documents table (token-set shingles)
+    "minhash_docs_lsh" -> ((s, d) =>
+      DocDedup.minhashLshCandidates(s, t(s, d, "documents"))),      // J3
+    // LSH-bucketed ANN (scale path vs ann_cosine_topk brute force)
+    "ann_lsh_topk" -> ((s, d) =>
+      DocDedup.annLshTopK(t(s, d, "embeddings"))),
+    // multimodal plumbing: binary payload manifest (oracled via md5)
+    "multimodal_manifest" -> ((s, d) =>
+      Multimodal.mediaManifest(t(s, d, "documents"))),
+    // multimodal stub decode -> fixed-dim features (batched mapPartitions)
+    "multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.featurize(Multimodal.asMedia(t(s, d, "documents"))).toDF()
+        .select($"doc_id", $"modality", $"payload_md5",
+          round(aggregate($"feature", lit(0.0), (a, x) => a + x * x), 6).as("feat_sq_norm"))
+    }),
+    // intra-conversation repeated spans (X13 copy-move analog)
+    "intra_repeated_spans" -> ((s, d) =>
+      IntraDup.repeatedSpans(Reassembly.assemble(
+        ConversationGen.corpus(s, specFor(d))))
+        .filter(col("n_repeated_shingles") > 0)),
+    // content-type routing per conversation (X11 modality analog)
+    "conv_profile" -> ((s, d) =>
+      IntraDup.convProfile(ConversationGen.corpus(s, specFor(d)))),
+    // custom typed Aggregator: mean of top-3 order prices per customer (A3)
+    "q_topk_mean" -> ((s, d) => {
+      import s.implicits._
+      val topkMean = udaf(graft.functions.TopKMean(3))
+      t(s, d, "orders").groupBy($"o_custkey")
+        .agg(round(topkMean($"o_totalprice"), 4).as("top3_mean"))
+    }),
+    // mutual top-3 NN over the n-gram jaccard graph (W3 mutual-NN mode)
+    "mutual_nn" -> ((s, d) => {
+      import s.implicits._
+      val pairs = queries("ngram_jaccard_pairs")(s, d)
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"), $"jaccard")
+        .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"), $"jaccard"))
+      val w = Window.partitionBy($"src").orderBy($"jaccard".desc, $"dst")
+      val topk = edges.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      topk.as("x").join(topk.as("y"),
+          col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+        .filter(col("x.src") < col("x.dst"))
+        .select(col("x.src").as("doc_a"), col("x.dst").as("doc_b"),
+          col("x.jaccard").as("jaccard"))
+    }),
     // sessionization via lag window (W1/W5 sequential-ordering analog)
     "q_sessionize" -> ((s, d) => {
       import s.implicits._
@@ -400,6 +452,51 @@ object SparkEntry {
          SELECT event_id, user_id,
            round((value - mu) / sqrt(variance), 4) AS z
          FROM j WHERE variance > 1e-12""",
+    "multimodal_manifest" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           len(text)::BIGINT AS n_bytes,
+           md5(text) AS payload_md5
+         FROM documents""",
+    "q_topk_mean" ->
+      """SELECT o_custkey, round(avg(p), 4) AS top3_mean FROM (
+           SELECT o_custkey, o_totalprice AS p,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3 GROUP BY 1""",
+    "mutual_nn" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+          g AS (
+            SELECT DISTINCT doc_id,
+              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+            FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i)),
+          sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+          i AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          p AS (
+            SELECT doc_a, doc_b,
+              round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM i
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05),
+          e AS (
+            SELECT doc_a AS src, doc_b AS dst, jaccard FROM p
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst, jaccard FROM p),
+          k AS (
+            SELECT src, dst, jaccard,
+              row_number() OVER (PARTITION BY src
+                ORDER BY jaccard DESC, dst) AS rnk
+            FROM e)
+          SELECT x.src AS doc_a, x.dst AS doc_b, x.jaccard AS jaccard
+          FROM k x JOIN k y ON x.src = y.dst AND x.dst = y.src
+          WHERE x.rnk <= 3 AND y.rnk <= 3 AND x.src < x.dst""",
     "q_sessionize" ->
       """WITH l AS (
            SELECT user_id, ts,

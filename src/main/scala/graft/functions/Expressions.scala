@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions for the signature kernel (SURVEY.md §2.11,
+ * §7 "candidate future Expressions"): native codegen'd column functions so
+ * signature math can live inside whole-stage codegen instead of a Scala UDF
+ * (no boxing, no serialization tax, NULL handling via nullSafeCodeGen).
+ *
+ * Each doGenCode emits a static call into the deterministic JVM kernel
+ * (graft.functions.TextKernel / Expr0) — the expression stays inside the
+ * generated class's fused loop; only the kernel call is out-of-line.
+ */
+object Expr0 {
+  // static entry points for generated code (stable names, no overload ambiguity)
+  def simhash(s: UTF8String): Long = {
+    val toks = TextKernel.tokens(TextKernel.normalize(s.toString))
+    TextKernel.simhash64(toks)
+  }
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  private def params(numPerms: Int, seed: Long) =
+    paramCache.computeIfAbsent((numPerms, seed),
+      k => Hashing.minhashParams(k._1, k._2))
+
+  def minhashSig(s: UTF8String, k: Int, numPerms: Int, seed: Long): ArrayData = {
+    val toks = TextKernel.tokens(TextKernel.normalize(s.toString))
+    val sh = TextKernel.shingleSet(toks, k)
+    val (a, b) = params(numPerms, seed)
+    new GenericArrayData(TextKernel.minhash(sh, a, b))
+  }
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double =
+    TextKernel.jaccardSorted(a.toLongArray(), b.toLongArray())
+}
+
+/** simhash64(text): 64-bit SimHash of normalized token frequencies (X2 analog). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = Expr0.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Expr0.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+/** minhash_sig(text): MinHash signature array under the fixed engine config. */
+case class MinHashSig(child: Expression, shingleK: Int, numPerms: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Expr0.minhashSig(v.asInstanceOf[UTF8String], shingleK, numPerms, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Expr0.minhashSig($c, $shingleK, $numPerms, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** hamming64(a, b): popcount(a XOR b) — X5 analog, pure codegen arithmetic. */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "hamming64"
+}
+
+/** jaccard_sorted(a, b): exact Jaccard of two sorted distinct long arrays (X8). */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Expr0.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Expr0.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted"
+}
+
+/** Column-API facade + SQL registration for the custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.graft.Bridge.{column, expression}
+
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def minhash_sig(c: Column, k: Int = 5, numPerms: Int = 128, seed: Long = 123L): Column =
+    column(MinHashSig(expression(c), k, numPerms, seed))
+  def hamming64(a: Column, b: Column): Column =
+    column(Hamming64(expression(a), expression(b)))
+  def jaccard_sorted(a: Column, b: Column): Column =
+    column(JaccardSortedExpr(expression(a), expression(b)))
+
+  /** Register for SQL use: SELECT simhash64(text) FROM docs. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming64", es => Hamming64(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSortedExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head, 5, 128, 123L), "scala_udf")
+  }
+}

@@ -23,15 +23,31 @@ import graft.model.ClusterRow
  */
 object ConnectedComponents {
 
+  /** Driver-local threshold: below this many (symmetric) edges the
+    * iterative join loop is pure scheduling overhead, so we collect and run
+    * union-find on the driver — the same adaptive dispatch-by-input-size the
+    * reference uses between all-pairs and batched modes
+    * (ai_...AUTO.py:467-530, :3766-3783). Above it, the distributed
+    * min-label loop runs (the only option at 10^12-turn scale). */
+  val DriverLocalMaxEdges: Long = 2000000L
+
   /** edges: DataFrame with (conv_a, conv_b). Returns (conv_id, cluster_id, cluster_size). */
-  def cluster(edges: DataFrame, maxIters: Int = 25): Dataset[ClusterRow] = {
+  def cluster(edges: DataFrame, maxIters: Int = 25,
+              driverLocalMaxEdges: Long = DriverLocalMaxEdges): Dataset[ClusterRow] = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val sym = edges.select(col("conv_a").as("src"), col("conv_b").as("dst"))
+    val symRaw = edges.select(col("conv_a").as("src"), col("conv_b").as("dst"))
       .unionAll(edges.select(col("conv_b").as("src"), col("conv_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    val nEdges = symRaw.count()
+    if (nEdges <= driverLocalMaxEdges) return clusterLocal(symRaw)
+
+    // adaptive parallelism: size partitions to ~100k edges each (floor 1)
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (nEdges / 100000L).toInt + 1))
+    val sym = symRaw.repartition(parts, col("src")).localCheckpoint(true)
 
     // initial label = own id
     var labels = sym.select($"src".as("id")).distinct()
@@ -45,9 +61,16 @@ object ConnectedComponents {
       val viaNbr = sym
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nbr_label"), Seq("dst"))
         .groupBy($"src").agg(min($"nbr_label").as("nbr_label"))
-      val next = labels
+      val propagated = labels
         .join(viaNbr.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select($"id", least($"label", coalesce($"nbr_label", $"label")).as("label"))
+      // pointer jumping (path compression): label(v) ← label(label(v)).
+      // Neighbor-min alone needs diameter iterations; with the jump the
+      // loop converges in O(log n) even on chains.
+      val next = propagated.as("n")
+        .join(propagated.select($"id".as("label"), $"label".as("label2")),
+          Seq("label"), "left")
+        .select($"id", least($"label", coalesce($"label2", $"label")).as("label"))
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter($"label" =!= $"old").limit(1).count()
@@ -60,5 +83,31 @@ object ConnectedComponents {
     labels.join(sizes, Seq("label"))
       .select($"id".as("conv_id"), $"label".as("cluster_id"), $"cluster_size")
       .as[ClusterRow]
+  }
+
+  /** Driver-local union-find path for small edge sets (same output contract:
+    * cluster_id = lexicographic-min member). */
+  private def clusterLocal(sym: DataFrame): Dataset[ClusterRow] = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val pairs = sym.as[(String, String)].collect()
+    val parent = scala.collection.mutable.HashMap[String, String]()
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      // union by lexicographic min so the root IS the min label
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val assign = parent.keys.map(k => (k, find(k))).toSeq
+    val sizes = assign.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    spark.createDataset(assign.map { case (id, root) =>
+      ClusterRow(id, root, sizes(root)) })
   }
 }

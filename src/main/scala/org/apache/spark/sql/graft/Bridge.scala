@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Column ↔ Expression bridge. Spark 4 made the helpers `private[sql]`
+ * (org.apache.spark.sql.classic.ExpressionUtils), so third-party Catalyst
+ * expressions need this one-file shim in the sql package — the same pattern
+ * public Spark extension libraries use to expose custom expressions as
+ * Columns.
+ */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

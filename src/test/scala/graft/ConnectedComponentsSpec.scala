@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+/** Both CC paths (driver-local union-find, distributed min-label loop)
+  * produce identical, deterministic components. */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def edgesDf(es: Seq[(String, String)]) = {
+    import spark.implicits._
+    es.toDF("conv_a", "conv_b")
+  }
+
+  private val graph = Seq(
+    ("a", "b"), ("b", "c"),           // chain abc
+    ("d", "e"),                        // pair
+    ("x", "y"), ("y", "z"), ("x", "z") // triangle
+  )
+
+  test("driver-local and distributed paths agree exactly") {
+    val local = ConnectedComponents.cluster(edgesDf(graph))
+      .collect().map(c => (c.conv_id, c.cluster_id, c.cluster_size)).toSet
+    val dist = ConnectedComponents.cluster(edgesDf(graph), driverLocalMaxEdges = 0)
+      .collect().map(c => (c.conv_id, c.cluster_id, c.cluster_size)).toSet
+    assert(local == dist)
+    assert(local == Set(
+      ("a", "a", 3L), ("b", "a", 3L), ("c", "a", 3L),
+      ("d", "d", 2L), ("e", "d", 2L),
+      ("x", "x", 3L), ("y", "x", 3L), ("z", "x", 3L)))
+  }
+
+  test("distributed path converges on a long chain (diameter > 1 iteration)") {
+    val chain = (0 until 40).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val out = ConnectedComponents.cluster(edgesDf(chain), driverLocalMaxEdges = 0)
+      .collect()
+    assert(out.forall(_.cluster_id == "n000"))
+    assert(out.forall(_.cluster_size == 41L))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, TextKernel, TopKMean}
+import graft.operators.{DocDedup, Multimodal}
+
+/** Custom Catalyst expressions, typed aggregator, documents-table operators. */
+class ExpressionsSpec extends SparkSpec {
+
+  test("SimHash64 expression matches the JVM kernel; codegen path active") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello, World! foo bar baz"), (2L, "completely different text"))
+      .toDF("id", "text")
+    val got = df.select($"id", GraftFunctions.simhash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val want1 = TextKernel.simhash64(TextKernel.tokens(
+      TextKernel.normalize("Hello, World! foo bar baz")))
+    assert(got(1L) == want1)
+    // expression survives a codegen'd plan (filter + projection fused)
+    val n = df.filter(GraftFunctions.hamming64(
+      GraftFunctions.simhash64($"text"), lit(want1)) === 0).count()
+    assert(n == 1)
+  }
+
+  test("expressions usable from SQL after registration") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(("a b c d e f g", 1)).toDF("text", "x").createOrReplaceTempView("tdocs")
+    val r = spark.sql(
+      "SELECT hamming64(simhash64(text), simhash64(text)) AS d FROM tdocs")
+      .collect().head.getInt(0)
+    assert(r == 0)
+    val sig = spark.sql("SELECT minhash_sig(text) AS s FROM tdocs")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 128)
+  }
+
+  test("jaccard_sorted expression equals kernel") {
+    import spark.implicits._
+    val df = Seq((Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L, 6L))).toDF("a", "b")
+    val v = df.select(GraftFunctions.jaccard_sorted($"a", $"b")).head().getDouble(0)
+    assert(math.abs(v - 2.0 / 6) < 1e-12)
+  }
+
+  test("TopKMean aggregator: mean of k largest, partial-merge safe") {
+    import spark.implicits._
+    val topk = udaf(TopKMean(3))
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+      .repartition(4) // force partial aggregation + merge
+    val got = df.groupBy($"g").agg(topk($"v").as("m")).head().getDouble(1)
+    assert(math.abs(got - 9.0) < 1e-12) // mean of 10, 9, 8
+    // group smaller than k
+    val small = Seq(("g", 2.0), ("g", 4.0)).toDF("g", "v")
+    assert(math.abs(small.groupBy($"g").agg(topk($"v")).head().getDouble(1) - 3.0) < 1e-12)
+  }
+
+  test("simhash near-pair scan finds the planted near-duplicate first") {
+    import spark.implicits._
+    val base = (0 until 30).map { i =>
+      val words = (0 until 60).map(j => "tok" +
+        java.lang.Long.toHexString(graft.functions.Hashing.mix64(i * 997L + j)))
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDup = (100L, base.head._2 + " tiny tail change")
+    val docs = (base :+ nearDup).toDF("doc_id", "text")
+    val top = DocDedup.simhashNearPairs(docs, topN = 1).collect().head
+    assert((top.getLong(0), top.getLong(1)) == (0L, 100L))
+  }
+
+  test("multimodal plumbing: manifest + batched stub features") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val manifest = Multimodal.mediaManifest(docs).collect()
+    assert(manifest.map(_.getString(1)).toSet == Set("image", "audio", "video"))
+    val feats = Multimodal.featurize(Multimodal.asMedia(docs)).collect()
+    assert(feats.forall(_.feature.length == 8))
+    // deterministic: same payload → same feature
+    val feats2 = Multimodal.featurize(Multimodal.asMedia(docs)).collect()
+    assert(feats.sortBy(_.doc_id).zip(feats2.sortBy(_.doc_id))
+      .forall { case (a, b) => a.feature.sameElements(b.feature) })
+  }
+
+  test("embedding LSH buckets: deterministic, bounded, same-vector same-bucket") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        (graft.functions.Hashing.mix64(i * 64L + d).toFloat / Long.MaxValue)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val b1 = DocDedup.embeddingLshBuckets(vecs).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b2 = DocDedup.embeddingLshBuckets(vecs).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < (1L << 12)))
+  }
+}

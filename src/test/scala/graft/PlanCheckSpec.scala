@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan discipline checks (the ".explain and iterate" requirement):
+ * filters/projections reach the parquet scan, small dims broadcast, hot
+ * expressions stay inside WholeStageCodegen.
+ */
+class PlanCheckSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = li.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(l_quantity"),
+      s"filter not pushed: $scan")
+    // column pruning: only the two referenced columns in ReadSchema
+    assert(scan.contains("l_orderkey") && !scan.contains("l_extendedprice"),
+      s"columns not pruned: $scan")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = planString(SparkEntry.queries("q_join_agg")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val p = planString(SparkEntry.queries("q_topk_global")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("custom SimHash64 expression stays inside WholeStageCodegen") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.GraftFunctions.simhash64($"text").as("sh"))
+      .filter($"sh" =!= 0L)
+    val p = planString(df)
+    // '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
+    assert(p.contains("*(1) Project [simhash64"), s"no codegen span:\n$p")
+    // the expression must not force a fallback project outside codegen
+    assert(!p.contains("!Project"), s"codegen fallback detected:\n$p")
+  }
+
+  test("aggregation uses partial (map-side) aggregation") {
+    val q = SparkEntry.queries("q1_agg")(spark, sf)
+    val p = planString(q)
+    // two HashAggregate nodes: partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("semi and anti joins compile to semi/anti join operators") {
+    val semi = planString(SparkEntry.queries("q_semi_join")(spark, sf))
+    assert(semi.contains("LeftSemi"), s"no semi join:\n$semi")
+    val anti = planString(SparkEntry.queries("q_anti_join")(spark, sf))
+    assert(anti.contains("LeftAnti"), s"no anti join:\n$anti")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.model.Turn
+import graft.streaming.StreamingDedup
+
+/** Structured Streaming path: incremental per-conversation fingerprints via
+  * mapGroupsWithState over a MemoryStream, two micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def turn(c: String, i: Int, text: String) =
+    Turn(c, i, if (i % 2 == 0) "user" else "assistant", text, null,
+      new Timestamp(1700000000000L + i * 1000L))
+
+  test("incremental fingerprints update across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val result = StreamingDedup.incrementalFingerprints(input.toDS())
+    val q = result.writeStream
+      .format("memory").queryName("fp_sink")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(turn("c1", 0, "hello world foo bar"), turn("c1", 1, "more text here"))
+      q.processAllAvailable()
+      val after1 = spark.sql("select * from fp_sink").as[StreamingDedup.ConvFingerprint]
+        .collect().filter(_.conv_id == "c1")
+      assert(after1.exists(_.n_turns == 2))
+
+      input.addData(turn("c1", 2, "third turn arrives later"), turn("c2", 0, "fresh conv"))
+      q.processAllAvailable()
+      val after2 = spark.sql("select * from fp_sink").as[StreamingDedup.ConvFingerprint]
+        .collect()
+      assert(after2.exists(f => f.conv_id == "c1" && f.n_turns == 3))
+      assert(after2.exists(f => f.conv_id == "c2" && f.n_turns == 1))
+      // simhash evolves as content accrues
+      val c1fps = after2.filter(_.conv_id == "c1").map(_.simhash).distinct
+      assert(c1fps.length >= 1)
+    } finally q.stop()
+  }
+
+  test("streaming fingerprint equals batch fingerprint for the same turns") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val turns = Seq(turn("cx", 0, "alpha beta gamma"), turn("cx", 1, "delta epsilon"))
+    // batch path: one group, single fold
+    val batchFp = StreamingDedup.incrementalFingerprints(spark.createDataset(turns))
+      .collect().head
+    // streaming path: same turns split across two batches
+    val input = MemoryStream[Turn]
+    val q = StreamingDedup.incrementalFingerprints(input.toDS())
+      .writeStream.format("memory").queryName("fp_eq")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(turns.head); q.processAllAvailable()
+      input.addData(turns(1)); q.processAllAvailable()
+      val streamed = spark.sql("select * from fp_eq")
+        .as[StreamingDedup.ConvFingerprint].collect()
+        .filter(f => f.conv_id == "cx" && f.n_turns == 2)
+      assert(streamed.nonEmpty)
+      assert(streamed.last.simhash == batchFp.simhash)
+      assert(streamed.last.content_hash == batchFp.content_hash)
+    } finally q.stop()
+  }
+
+  test("watermarked window aggregation over a turn stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val q = StreamingDedup.turnRates(input.toDS().toDF())
+      .writeStream.format("memory").queryName("rates")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((0 until 20).map(i => turn(s"c$i", 0, "w x y z")): _*)
+      q.processAllAvailable()
+      assert(spark.sql("select * from rates").count() > 0)
+    } finally q.stop()
+  }
+}
