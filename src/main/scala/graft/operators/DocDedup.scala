@@ -83,9 +83,13 @@ object DocDedup {
         transform(col("embedding"), x => x.cast("double")).as("e")), "vec_id")
       .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x),
         lit(0.0), (acc, x) => acc + x)))
-    val a = withB.select(col("vec_id").as("q_id"), col("bucket"),
+    // NB: rename the join key on the query side — self-join column refs from
+    // the same lineage resolve to one attribute id, silently degenerating the
+    // bucket equi-join into a cross join (Spark warns "trivially true
+    // equals predicate").
+    val a = withB.select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
       col("e").as("qe"), col("nrm").as("qn"))
-    val pairs = a.join(withB, a("bucket") === withB("bucket") &&
+    val pairs = a.join(withB, col("q_bucket") === col("bucket") &&
         col("q_id") =!= col("vec_id"))
       .withColumn("cos", aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nrm")))

@@ -57,6 +57,12 @@ class PlanCheckSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("ann_lsh_topk joins on the bucket key (no degenerate cross join)") {
+    val p = planString(SparkEntry.queries("ann_lsh_topk")(spark, sf))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucket equi-join degenerated to a cross join:\n$p")
+  }
+
   test("semi and anti joins compile to semi/anti join operators") {
     val semi = planString(SparkEntry.queries("q_semi_join")(spark, sf))
     assert(semi.contains("LeftSemi"), s"no semi join:\n$semi")
