@@ -165,6 +165,21 @@ object SparkEntry {
         .select($"q_id", $"vec_id".as("n_id"), $"rnk", round($"cos", 6).as("cosine"))
     }),
 
+    // embedding-cosine near-dup pairs (exact theta self-join, J1 analog) —
+    // dot products via the codegen'd DotArr expression, broadcast small side
+    "embed_near_dup" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.GraftFunctions.dot_arr
+      val v = t(s, d, "embeddings").select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("e"))
+      val n = v.withColumn("nrm", sqrt(dot_arr($"e", $"e")))
+      val a = n.select($"vec_id".as("vec_a"), $"e".as("ea"), $"nrm".as("na"))
+      a.join(broadcast(n), $"vec_a" < $"vec_id")
+        .withColumn("cos", dot_arr($"ea", $"e") / ($"na" * $"nrm"))
+        .filter($"cos" >= 0.45)
+        .select($"vec_a", $"vec_id".as("vec_b"), round($"cos", 6).as("cosine"))
+    }),
+
     // ---- classic analytics battery (coverage of §2.2/2.5/2.6/2.7/2.8) ----
     // wide agg with decimal-exact sums + pushed-down scan (A1/A4)
     "q1_agg" -> ((s, d) => {
@@ -401,6 +416,21 @@ object SparkEntry {
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
            FROM p)
          SELECT q_id, n_id, rnk, round(cos, 6) AS cosine FROM r WHERE rnk <= 5""",
+    "embed_near_dup" ->
+      """WITH v AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         p AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_sum(list_transform(range(1, len(a.e) + 1),
+               i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS cos
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM p
+         WHERE cos >= 0.45""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            sum(l_quantity::BIGINT) AS sum_qty,

@@ -37,6 +37,14 @@ object Expr0 {
   }
   def jaccardSorted(a: ArrayData, b: ArrayData): Double =
     TextKernel.jaccardSorted(a.toLongArray(), b.toLongArray())
+
+  def dotArr(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray(); val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 } // left-to-right: bit-equal to aggregate(zip_with)
+    s
+  }
 }
 
 /** simhash64(text): 64-bit SimHash of normalized token frequencies (X2 analog). */
@@ -89,6 +97,22 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_sorted"
 }
 
+/** dot_arr(a, b): dot product of two double arrays — the embedding-kernel hot
+  * path (brute-force cosine, near-dup thresholding) as a tight JVM loop
+  * inside whole-stage codegen instead of an interpreted
+  * aggregate(zip_with(...)) higher-order-function chain. */
+case class DotArr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Expr0.dotArr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Expr0.dotArr($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotArr =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_arr"
+}
+
 /** Column-API facade + SQL registration for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
@@ -101,6 +125,8 @@ object GraftFunctions {
     column(Hamming64(expression(a), expression(b)))
   def jaccard_sorted(a: Column, b: Column): Column =
     column(JaccardSortedExpr(expression(a), expression(b)))
+  def dot_arr(a: Column, b: Column): Column =
+    column(DotArr(expression(a), expression(b)))
 
   /** Register for SQL use: SELECT simhash64(text) FROM docs. */
   def register(spark: SparkSession): Unit = {
@@ -109,5 +135,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hamming64", es => Hamming64(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSortedExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head, 5, 128, 123L), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_arr", es => DotArr(es(0), es(1)), "scala_udf")
   }
 }

@@ -14,4 +14,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to a session's
+    * registry (`registerFunctions` is private[sql]; this is the hook the
+    * session builder itself uses for spark.sql.extensions). */
+  def applyFunctionInjections(ext: org.apache.spark.sql.SparkSessionExtensions,
+                              spark: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

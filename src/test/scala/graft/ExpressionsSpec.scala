@@ -35,11 +35,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(sig.length == 128)
   }
 
+  test("GraftExtensions injects functions (spark.sql.extensions deploy path)") {
+    // drive the same hook the builder applies for spark.sql.extensions:
+    // collect injections, register into this session's function registry
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.graft.Bridge.applyFunctionInjections(ext, spark)
+    val r = spark.sql("SELECT hamming64(simhash64('a b c'), simhash64('a b c')) AS d")
+      .collect().head.getInt(0)
+    assert(r == 0)
+    val sig = spark.sql("SELECT minhash_sig('a b c d e f g') AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 128)
+  }
+
   test("jaccard_sorted expression equals kernel") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L, 6L))).toDF("a", "b")
     val v = df.select(GraftFunctions.jaccard_sorted($"a", $"b")).head().getDouble(0)
     assert(math.abs(v - 2.0 / 6) < 1e-12)
+  }
+
+  test("DotArr expression: codegen'd dot product of double arrays") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(GraftFunctions.dot_arr($"a", $"b")).head().getDouble(0) == 32.0)
+    // inside a filter so it must survive a codegen'd plan
+    assert(df.filter(GraftFunctions.dot_arr($"a", $"b") > 31.0).count() == 1)
   }
 
   test("TopKMean aggregator: mean of k largest, partial-merge safe") {
