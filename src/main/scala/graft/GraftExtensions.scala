@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotArr, Hamming64, JaccardSortedExpr, MinHashSig, SimHash64}
+import graft.functions.{DotArr, Hamming64, JaccardSortedExpr, MinHashSig, MinhashEstExpr, SimHash64}
 
 /**
  * SparkSessionExtensions entry point — the cluster-deploy path for the
@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_arr"),
       info("dot_arr", "dot_arr(a, b) - dot product of two double arrays"),
       (es: Seq[Expression]) => DotArr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_est"),
+      info("minhash_est", "minhash_est(a, b) - fraction of agreeing MinHash positions"),
+      (es: Seq[Expression]) => MinhashEstExpr(es(0), es(1))))
   }
 }

@@ -38,6 +38,9 @@ object Expr0 {
   def jaccardSorted(a: ArrayData, b: ArrayData): Double =
     TextKernel.jaccardSorted(a.toLongArray(), b.toLongArray())
 
+  def minhashEst(a: ArrayData, b: ArrayData): Double =
+    TextKernel.minhashEstimate(a.toLongArray(), b.toLongArray())
+
   def dotArr(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
@@ -113,6 +116,21 @@ case class DotArr(left: Expression, right: Expression)
   override def prettyName: String = "dot_arr"
 }
 
+/** minhash_est(a, b): estimated Jaccard = fraction of agreeing MinHash
+  * positions — tight JVM loop inside codegen (replaces an interpreted
+  * aggregate(zip_with) fallback in the candidate join's hot path). */
+case class MinhashEstExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Expr0.minhashEst(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Expr0.minhashEst($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinhashEstExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "minhash_est"
+}
+
 /** Column-API facade + SQL registration for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
@@ -127,6 +145,8 @@ object GraftFunctions {
     column(JaccardSortedExpr(expression(a), expression(b)))
   def dot_arr(a: Column, b: Column): Column =
     column(DotArr(expression(a), expression(b)))
+  def minhash_est(a: Column, b: Column): Column =
+    column(MinhashEstExpr(expression(a), expression(b)))
 
   /** Register for SQL use: SELECT simhash64(text) FROM docs. */
   def register(spark: SparkSession): Unit = {
@@ -136,5 +156,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("jaccard_sorted", es => JaccardSortedExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head, 5, 128, 123L), "scala_udf")
     reg.createOrReplaceTempFunction("dot_arr", es => DotArr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_est", es => MinhashEstExpr(es(0), es(1)), "scala_udf")
   }
 }

@@ -48,6 +48,17 @@ object TextKernel {
     else normText.split(' ')
   }
 
+  /** Per-token 64-bit hashes — computed ONCE per document and shared by
+    * every signature below (shingles, simhash, bundle variants, block
+    * sketches); re-hashing token strings per signature was the top cost of
+    * the signatures stage. */
+  def tokenHashes(toks: Array[String]): Array[Long] = {
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = Hashing.xxh64(toks(i), TokenSeed); i += 1 }
+    th
+  }
+
   /**
    * Distinct word-k-gram shingle hashes (64-bit). Rolling re-hash of k
    * token hashes — the generator pattern of the reference's sliding
@@ -55,20 +66,22 @@ object TextKernel {
    * Documents shorter than k tokens yield one whole-text shingle so short
    * docs still participate.
    */
-  def shingleSet(toks: Array[String], k: Int): Array[Long] = {
-    if (toks.isEmpty) return Array.empty
-    val th = new Array[Long](toks.length)
-    var i = 0
-    while (i < toks.length) { th(i) = Hashing.xxh64(toks(i), TokenSeed); i += 1 }
+  def shingleSet(toks: Array[String], k: Int): Array[Long] =
+    shingleSetFromHashes(tokenHashes(toks), k)
+
+  /** shingleSet over precomputed token hashes. */
+  def shingleSetFromHashes(th: Array[Long], k: Int): Array[Long] = {
+    if (th.isEmpty) return Array.empty
     val set = new mutable.HashSet[Long]
-    if (toks.length < k) {
+    var i = 0
+    if (th.length < k) {
       var h = ShingleSeed
       i = 0
-      while (i < toks.length) { h = Hashing.xxh64Long(th(i), h); i += 1 }
+      while (i < th.length) { h = Hashing.xxh64Long(th(i), h); i += 1 }
       set += h
     } else {
       i = 0
-      while (i + k <= toks.length) {
+      while (i + k <= th.length) {
         var h = ShingleSeed
         var j = i
         while (j < i + k) { h = Hashing.xxh64Long(th(j), h); j += 1 }
@@ -135,14 +148,18 @@ object TextKernel {
    * reference's perceptual DCT hash (ai_...AUTO.py:3930-3944): weighted
    * bit-vote over per-token 64-bit hashes.
    */
-  def simhash64(toks: Array[String]): Long = {
-    if (toks.isEmpty) return 0L
+  def simhash64(toks: Array[String]): Long =
+    simhash64FromHashes(tokenHashes(toks))
+
+  /** simhash64 over precomputed token hashes (frequency-weighted bit votes —
+    * identical output, since votes depend only on each token's hash). */
+  def simhash64FromHashes(th: Array[Long]): Long = {
+    if (th.isEmpty) return 0L
     val votes = new Array[Int](64)
-    val freq = new mutable.HashMap[String, Int]
+    val freq = new mutable.HashMap[Long, Int]
     var i = 0
-    while (i < toks.length) { freq.update(toks(i), freq.getOrElse(toks(i), 0) + 1); i += 1 }
-    freq.foreach { case (t, w) =>
-      val h = Hashing.xxh64(t, TokenSeed)
+    while (i < th.length) { freq.update(th(i), freq.getOrElse(th(i), 0) + 1); i += 1 }
+    freq.foreach { case (h, w) =>
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) votes(bit) += w else votes(bit) -= w

@@ -73,14 +73,11 @@ object LshJoin {
 
     // signatures join in only now — per unique pair, not per band row
     val mh = sigs.select($"conv_id", $"minhash")
-    val nPerms = cfg.numPerms
     uniquePairs
       .join(mh.select($"conv_id".as("conv_a"), $"minhash".as("ma")), "conv_a")
       .join(mh.select($"conv_id".as("conv_b"), $"minhash".as("mb")), "conv_b")
       .withColumn("minhash_est",
-        aggregate(zip_with(col("ma"), col("mb"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(nPerms))
+        graft.functions.GraftFunctions.minhash_est(col("ma"), col("mb")))
       // F1 threshold predicate; bundle hits always survive (exact-dup path)
       .filter($"minhash_est" >= cfg.simThreshold || $"source".contains("bundle"))
       .select(

@@ -37,21 +37,24 @@ object Signatures {
       it.map { d =>
         val norm = TextKernel.normalize(d.doc_text)
         val toks = TextKernel.tokens(norm)
-        val shingles = TextKernel.shingleSet(toks, k)
+        // hash every token exactly once; all signatures share these hashes
+        // (string re-hashing per signature dominated this stage's profile)
+        val th = TextKernel.tokenHashes(toks)
+        val shingles = TextKernel.shingleSetFromHashes(th, k)
         val sig = TextKernel.minhash(shingles, pa, pb)
         val bandKeys = TextKernel.bandKeys(sig, bands, rows)
-        val sim = TextKernel.simhash64(toks)
+        val sim = TextKernel.simhash64FromHashes(th)
         // variant bundle: (canonical, role-line-stripped, head-only, tail-only)
         // — normalization variants standing in for the reference's
         // rotation/mirror transform bundle.
         val lines = norm // already role-free; variants over token windows:
-        val nT = toks.length
-        val headToks = java.util.Arrays.copyOfRange(toks, 0, math.min(nT, math.max(1, nT / 2)))
-        val tailToks = java.util.Arrays.copyOfRange(toks, nT - math.min(nT, math.max(1, nT / 2)), nT)
+        val nT = th.length
+        val headH = java.util.Arrays.copyOfRange(th, 0, math.min(nT, math.max(1, nT / 2)))
+        val tailH = java.util.Arrays.copyOfRange(th, nT - math.min(nT, math.max(1, nT / 2)), nT)
         val bundle = Array(sim,
-          TextKernel.simhash64(headToks),
-          TextKernel.simhash64(tailToks),
-          TextKernel.simhash64(toks.distinct))
+          TextKernel.simhash64FromHashes(headH),
+          TextKernel.simhash64FromHashes(tailH),
+          TextKernel.simhash64FromHashes(th.distinct))
         val sketch = {
           val s = TextKernel.bottomK(shingles, sketchK)
           // bottomK of a full set returns raw (unmixed) shingles when small;
@@ -66,9 +69,9 @@ object Signatures {
         while (bi < nBlocks) {
           val lo = (nT.toLong * bi / nBlocks).toInt
           val hi = (nT.toLong * (bi + 1) / nBlocks).toInt
-          val bt = if (hi > lo) java.util.Arrays.copyOfRange(toks, lo, hi)
-                   else Array.empty[String]
-          val bs = TextKernel.shingleSet(bt, k)
+          val bt = if (hi > lo) java.util.Arrays.copyOfRange(th, lo, hi)
+                   else Array.empty[Long]
+          val bs = TextKernel.shingleSetFromHashes(bt, k)
           val capped =
             if (bs.length <= blockK) { val m = bs.map(Hashing.mix64); java.util.Arrays.sort(m); m }
             else TextKernel.bottomK(bs, blockK)
