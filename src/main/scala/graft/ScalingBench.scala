@@ -4,16 +4,45 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Two-cluster-size scaling evidence (BASELINE.json north_rule): the same
- * dedup job on the same input at local[8] and local[32] — the sandbox proxy
+ * dedup job on the same input at two parallelism levels — the sandbox proxy
  * for N vs 4N executors. Prints one JSON line with throughput at both
- * parallelism levels and the scaling efficiency
- * (= (thr32 / thr8) / 4, target ≥ 0.8).
+ * levels and the scaling efficiency (= (thrLarge / thrSmall) / factor).
  *
- * Methodology: one warm-up run at the small parallelism to pay JVM/codegen
- * warmup outside the measurement, then timed runs. The corpus is generated
- * deterministically, so both levels process identical data.
+ * Methodology:
+ *  - One warm-up pipeline run pays JVM/codegen warmup outside measurement.
+ *  - Each level is measured `reps` times ALTERNATING (small, large, small,
+ *    large, …) and the median is used — this box shows ±30% run-to-run
+ *    noise, so single runs are meaningless.
+ *  - A pure-JVM multithreaded hash loop measures the HARDWARE's own
+ *    scaling ceiling between the same two thread counts (the host
+ *    advertises 32 CPUs but sustains only ~2.7× more raw hash throughput
+ *    at 32 threads than at 8 — SMT / vCPU throttling). `efficiency_vs_hw`
+ *    = job efficiency / hardware efficiency isolates what the JOB loses
+ *    to serial sections and shuffle, which is the quantity the N→4N
+ *    executor criterion is about (real executors add real cores).
+ *  - The corpus is generated deterministically, so both levels process
+ *    identical data.
  */
 object ScalingBench {
+
+  // ---- hardware calibration: raw parallel hash throughput ----------------
+  private def burn(iters: Long): Long = {
+    var x = 0L; var i = 0L
+    while (i < iters) { x ^= functions.Hashing.mix64(x + i); i += 1 }
+    x
+  }
+
+  /** ops/sec sustained by `threads` concurrent hash loops. */
+  private def calibrate(threads: Int, iters: Long = 300000000L): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => { sink.addAndGet(burn(iters)) })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    threads.toDouble * iters / ((System.nanoTime() - t0) / 1e9)
+  }
 
   private def timedRun(cpus: Int, nBase: Long): (Long, Double) = {
     val spark = Bench.session(cpus.toString)
@@ -28,22 +57,42 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
-    val nBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "30000").toLong
-    // warm-up (JIT/codegen) at small size
-    val warm = Bench.session("8")
+    val nBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "40000").toLong
+    val small = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMALL", "8").toInt
+    val large = sys.env.getOrElse("SPARK_GRAFT_SCALE_LARGE", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val factor = large.toDouble / small
+
+    // hardware ceiling between the same two thread counts
+    val hwSmall = calibrate(small)
+    val hwLarge = calibrate(large)
+    val hwEff = (hwLarge / hwSmall) / factor
+
+    // warm-up (JIT/codegen) outside measurement
+    val warm = Bench.session(small.toString)
     try {
       val r = operators.Pipeline.run(
         sources.ConversationGen.corpus(warm, sources.ConversationGen.smoke))
       r.clusters.count()
     } finally warm.stop()
 
-    val (turns8, sec8) = timedRun(8, nBase)
-    val (turns32, sec32) = timedRun(32, nBase)
-    require(turns8 == turns32)
-    val thr8 = turns8 / sec8
-    val thr32 = turns32 / sec32
-    val eff = (thr32 / thr8) / 4.0
-    println(s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_turns":$turns8,"sec_local8":${f"$sec8%.2f"},"sec_local32":${f"$sec32%.2f"},"turns_per_sec_local8":${f"$thr8%.1f"},"turns_per_sec_local32":${f"$thr32%.1f"}}""")
+    // alternating measured runs; medians defeat the host's ±30% noise
+    val secS = collection.mutable.ArrayBuffer[Double]()
+    val secL = collection.mutable.ArrayBuffer[Double]()
+    var nTurns = 0L
+    (1 to reps).foreach { _ =>
+      val (n1, s1) = timedRun(small, nBase); nTurns = n1; secS += s1
+      val (n2, s2) = timedRun(large, nBase); require(n1 == n2); secL += s2
+    }
+    val mS = median(secS.toSeq); val mL = median(secL.toSeq)
+    val thrS = nTurns / mS; val thrL = nTurns / mL
+    val eff = (thrL / thrS) / factor
+    val effVsHw = eff / hwEff
+    println(s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_turns":$nTurns,"parallelism_small":$small,"parallelism_large":$large,"reps":$reps,"sec_small":${f"$mS%.2f"},"sec_large":${f"$mL%.2f"},"turns_per_sec_small":${f"$thrS%.1f"},"turns_per_sec_large":${f"$thrL%.1f"},"hw_efficiency_ceiling":${f"$hwEff%.3f"},"efficiency_vs_hw":${f"$effVsHw%.3f"},"runs_small_sec":[${secS.map(s => f"$s%.1f").mkString(",")}],"runs_large_sec":[${secL.map(s => f"$s%.1f").mkString(",")}]}""")
   }
 }

@@ -84,6 +84,12 @@ object LshJoin {
         concat($"conv_a", lit("|"), $"conv_b").as("pair_key"),
         $"conv_a", $"conv_b", $"minhash_est", $"band_id".cast("int").as("band_id"),
         $"source")
+      // F4 output cap (CLIP_MAX_OUTPUT_PAIRS analog, ai_...AUTO.py:99,
+      // applied score-desc at similarity_engine.py:253-258): bounds the
+      // verify-join fan-in when boilerplate families flood the bands.
+      // TakeOrderedAndProject — no full sort; deterministic tie-break.
+      .orderBy($"minhash_est".desc, $"pair_key")
+      .limit(cfg.maxOutputPairs)
       .as[CandidatePair]
   }
 

@@ -97,4 +97,21 @@ object TierGate {
 
   def apply(pairs: Dataset[VerifiedPair], cfg: DedupConfig): Dataset[TieredPair] =
     gate(withZScore(pairs), cfg)
+
+  /**
+   * Optional scored-gate column (SURVEY.md §2.3 X18 — the reference's
+   * logistic PairClassifier over [cosine, ssim, hamming],
+   * /root/reference/duplicate_detector/utils/classifier.py:15-44; OFF by
+   * default like models/config.py:137): a deterministic linear score +
+   * sigmoid over the text-domain evidence, pure column arithmetic (no
+   * MLlib, fully codegen'd). Weights mirror the reference's signal order —
+   * similarity positive, fingerprint distance negative.
+   */
+  def pairScore(verified: DataFrame,
+                wEst: Double = 3.0, wJac: Double = 4.0,
+                wDist: Double = -0.25, bias: Double = -3.0): DataFrame =
+    verified.withColumn("pair_score",
+      lit(1.0) / (lit(1.0) + exp(-(
+        lit(wEst) * col("minhash_est") + lit(wJac) * col("jaccard") +
+        lit(wDist) * col("simhash_dist") + lit(bias)))))
 }

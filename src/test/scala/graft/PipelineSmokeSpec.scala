@@ -50,6 +50,29 @@ class PipelineSmokeSpec extends SparkSpec {
     assert(recall >= 0.90, s"recall=$recall missed=${missed.map(_.transform_type).mkString(",")}")
   }
 
+  test("candidate output cap keeps the highest-scoring pairs (F4)") {
+    import org.apache.spark.sql.functions._
+    val capped = LshJoin.candidates(result.sigs,
+      DedupConfig.balanced.copy(maxOutputPairs = 10))
+    val all = result.candidates
+    assert(capped.count() == 10)
+    // the capped set is exactly the global top-10 by (est desc, pair_key)
+    val want = all.orderBy(col("minhash_est").desc, col("pair_key"))
+      .limit(10).select("pair_key").collect().map(_.getString(0)).toSet
+    val got = capped.select("pair_key").collect().map(_.getString(0)).toSet
+    assert(got == want)
+  }
+
+  test("pairScore (X18 gate): monotone in evidence, bounded (0,1)") {
+    import spark.implicits._
+    val scored = TierGate.pairScore(result.verified.toDF())
+      .select($"jaccard", $"pair_score").as[(Double, Double)].collect()
+    assert(scored.forall { case (_, s) => s > 0.0 && s < 1.0 })
+    // strongest-evidence pair scores above weakest
+    val hi = scored.maxBy(_._1)._2; val lo = scored.minBy(_._1)._2
+    assert(hi > lo)
+  }
+
   test("hard negatives are rejected (FPR ≤ 0.20 floor)") {
     import spark.implicits._
     val negs = ConversationGen.gtPairs(ConversationGen.smoke)
