@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Fixed, pre-touched heap: on this virtualized host, demand-zeroing pages
+  // during heap growth from 32 concurrent task threads put the machine at
+  // 90% SYSTEM time (kernel page management), anti-scaling every stage.
+  // Paying the zeroing once at JVM start removes it from the measured jobs.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

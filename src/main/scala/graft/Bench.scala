@@ -12,11 +12,27 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   def session(cpus: String): SparkSession = {
+    // Shuffle/spill through tmpfs: local-mode shuffle otherwise serializes
+    // on the single shared /tmp disk, which (unlike real per-executor NVMe)
+    // does not scale with parallelism — this makes the two-parallelism
+    // scaling proxy reflect compute, not one disk's bandwidth.
+    val shmDir = new java.io.File("/dev/shm/graft-spark")
+    val localDir = if (shmDir.isDirectory || shmDir.mkdirs()) shmDir.getPath
+                   else System.getProperty("java.io.tmpdir")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE's 64MB advisory target coalesces the reassembly/verify shuffles
+      // into fewer partitions than cores when row payloads are compact but
+      // row WORK is heavy (signature kernel) — keep splits small enough
+      // that every core stays busy.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "8m"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))

@@ -69,29 +69,34 @@ object TextKernel {
   def shingleSet(toks: Array[String], k: Int): Array[Long] =
     shingleSetFromHashes(tokenHashes(toks), k)
 
-  /** shingleSet over precomputed token hashes. */
+  /** shingleSet over precomputed token hashes. Primitive sort + in-place
+    * dedup instead of a boxing HashSet: at 32 concurrent kernel threads the
+    * boxed-Long allocation rate exceeded GC throughput and the signatures
+    * stage ANTI-scaled (11.8s at local[8] → 51.1s at local[32]). Output is
+    * bit-identical (same sorted distinct hashes). */
   def shingleSetFromHashes(th: Array[Long], k: Int): Array[Long] = {
     if (th.isEmpty) return Array.empty
-    val set = new mutable.HashSet[Long]
-    var i = 0
     if (th.length < k) {
       var h = ShingleSeed
-      i = 0
+      var i = 0
       while (i < th.length) { h = Hashing.xxh64Long(th(i), h); i += 1 }
-      set += h
-    } else {
-      i = 0
-      while (i + k <= th.length) {
-        var h = ShingleSeed
-        var j = i
-        while (j < i + k) { h = Hashing.xxh64Long(th(j), h); j += 1 }
-        set += h
-        i += 1
-      }
+      return Array(h)
     }
-    val out = set.toArray
-    java.util.Arrays.sort(out)
-    out
+    val n = th.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = ShingleSeed
+      var j = i
+      while (j < i + k) { h = Hashing.xxh64Long(th(j), h); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    i = 1
+    while (i < n) { if (hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }; i += 1 }
+    if (w == n) hs else java.util.Arrays.copyOfRange(hs, 0, w)
   }
 
   /**
@@ -151,25 +156,38 @@ object TextKernel {
   def simhash64(toks: Array[String]): Long =
     simhash64FromHashes(tokenHashes(toks))
 
-  /** simhash64 over precomputed token hashes (frequency-weighted bit votes —
-    * identical output, since votes depend only on each token's hash). */
+  /** simhash64 over precomputed token hashes. Votes accumulate per
+    * OCCURRENCE (±1 each), which equals the frequency-weighted per-distinct
+    * vote exactly — so no frequency map, zero allocation (the boxed
+    * HashMap[Long,Int] was a GC hot spot at high thread counts). */
   def simhash64FromHashes(th: Array[Long]): Long = {
     if (th.isEmpty) return 0L
     val votes = new Array[Int](64)
-    val freq = new mutable.HashMap[Long, Int]
     var i = 0
-    while (i < th.length) { freq.update(th(i), freq.getOrElse(th(i), 0) + 1); i += 1 }
-    freq.foreach { case (h, w) =>
+    while (i < th.length) {
+      val h = th(i)
       var bit = 0
       while (bit < 64) {
-        if (((h >>> bit) & 1L) == 1L) votes(bit) += w else votes(bit) -= w
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
         bit += 1
       }
+      i += 1
     }
     var out = 0L
     var bit = 0
     while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
     out
+  }
+
+  /** Sorted distinct copy of a primitive long array (no boxing). */
+  def sortedDistinct(xs: Array[Long]): Array[Long] = {
+    if (xs.length <= 1) return xs.clone()
+    val a = xs.clone()
+    java.util.Arrays.sort(a)
+    var w = 1
+    var i = 1
+    while (i < a.length) { if (a(i) != a(i - 1)) { a(w) = a(i); w += 1 }; i += 1 }
+    if (w == a.length) a else java.util.Arrays.copyOfRange(a, 0, w)
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -243,15 +261,41 @@ object TextKernel {
   }
 
   private def hasCommonSub(s: String, t: String, L: Int): Boolean = {
-    val seen = new mutable.HashSet[Long]
-    rollHashes(s, L).foreach(seen += _)
-    rollHashes(t, L).exists(seen.contains)
+    if (s.length < L || t.length < L) return false
+    val hs = rollHashArray(s, L)
+    java.util.Arrays.sort(hs)
+    // roll over t inline, probing the sorted array — primitive throughout
+    // (the previous boxed Iterator[Long] + HashSet churned GC under high
+    // thread counts)
+    val B1 = 1000000007L; val B2 = 998244353L
+    var h1 = 0L; var h2 = 0L
+    var p1 = 1L; var p2 = 1L
+    var i = 0
+    while (i < L) {
+      val c = t.charAt(i).toLong
+      h1 = h1 * B1 + c; h2 = h2 * B2 + c
+      if (i < L - 1) { p1 *= B1; p2 *= B2 }
+      i += 1
+    }
+    if (java.util.Arrays.binarySearch(hs,
+        Hashing.mix64(h1) ^ Hashing.mix64(h2 * 0x9E3779B97F4A7C15L)) >= 0) return true
+    var pos = L
+    while (pos < t.length) {
+      val out = t.charAt(pos - L).toLong
+      val in = t.charAt(pos).toLong
+      h1 = (h1 - out * p1) * B1 + in
+      h2 = (h2 - out * p2) * B2 + in
+      if (java.util.Arrays.binarySearch(hs,
+          Hashing.mix64(h1) ^ Hashing.mix64(h2 * 0x9E3779B97F4A7C15L)) >= 0) return true
+      pos += 1
+    }
+    false
   }
 
   /** Polynomial rolling hashes of all L-grams of s (two seeds folded to one long). */
-  private def rollHashes(s: String, L: Int): Iterator[Long] = {
-    if (s.length < L) return Iterator.empty
+  private def rollHashArray(s: String, L: Int): Array[Long] = {
     val B1 = 1000000007L; val B2 = 998244353L
+    val out = new Array[Long](s.length - L + 1)
     var h1 = 0L; var h2 = 0L
     var p1 = 1L; var p2 = 1L
     var i = 0
@@ -261,25 +305,16 @@ object TextKernel {
       if (i < L - 1) { p1 *= B1; p2 *= B2 }
       i += 1
     }
-    val first = Hashing.mix64(h1) ^ Hashing.mix64(h2 * 0x9E3779B97F4A7C15L)
-    var idx = L
-    val h1v = h1; val h2v = h2
-    new Iterator[Long] {
-      var cur1 = h1v; var cur2 = h2v
-      var emittedFirst = false
-      var pos = idx
-      def hasNext: Boolean = !emittedFirst || pos < s.length
-      def next(): Long = {
-        if (!emittedFirst) { emittedFirst = true; first }
-        else {
-          val out = s.charAt(pos - L).toLong
-          val in = s.charAt(pos).toLong
-          cur1 = (cur1 - out * p1) * B1 + in
-          cur2 = (cur2 - out * p2) * B2 + in
-          pos += 1
-          Hashing.mix64(cur1) ^ Hashing.mix64(cur2 * 0x9E3779B97F4A7C15L)
-        }
-      }
+    out(0) = Hashing.mix64(h1) ^ Hashing.mix64(h2 * 0x9E3779B97F4A7C15L)
+    var pos = L
+    while (pos < s.length) {
+      val o = s.charAt(pos - L).toLong
+      val in = s.charAt(pos).toLong
+      h1 = (h1 - o * p1) * B1 + in
+      h2 = (h2 - o * p2) * B2 + in
+      out(pos - L + 1) = Hashing.mix64(h1) ^ Hashing.mix64(h2 * 0x9E3779B97F4A7C15L)
+      pos += 1
     }
+    out
   }
 }

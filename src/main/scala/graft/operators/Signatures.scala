@@ -54,7 +54,7 @@ object Signatures {
         val bundle = Array(sim,
           TextKernel.simhash64FromHashes(headH),
           TextKernel.simhash64FromHashes(tailH),
-          TextKernel.simhash64FromHashes(th.distinct))
+          TextKernel.simhash64FromHashes(TextKernel.sortedDistinct(th)))
         val sketch = {
           val s = TextKernel.bottomK(shingles, sketchK)
           // bottomK of a full set returns raw (unmixed) shingles when small;
