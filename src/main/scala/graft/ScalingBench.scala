@@ -51,7 +51,7 @@ object ScalingBench {
       val corpus = sources.ConversationGen.corpus(spark, spec)
       val nTurns = corpus.count()
       val t0 = System.nanoTime()
-      val result = operators.Pipeline.run(corpus, model.DedupConfig.balanced)
+      val result = operators.Pipeline.runPipelined(corpus, model.DedupConfig.balanced)
       result.clusters.count()
       (nTurns, (System.nanoTime() - t0) / 1e9)
     } finally spark.stop()
@@ -76,7 +76,7 @@ object ScalingBench {
     // warm-up (JIT/codegen) outside measurement
     val warm = Bench.session(small.toString)
     try {
-      val r = operators.Pipeline.run(
+      val r = operators.Pipeline.runPipelined(
         sources.ConversationGen.corpus(warm, sources.ConversationGen.smoke))
       r.clusters.count()
     } finally warm.stop()

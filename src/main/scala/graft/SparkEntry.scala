@@ -38,7 +38,7 @@ object SparkEntry {
 
   def pipelineFor(spark: SparkSession, sfDir: String): Pipeline.Result =
     pipeCache.computeIfAbsent(System.identityHashCode(spark) + "|" + sfDir, _ => {
-      Pipeline.run(ConversationGen.corpus(spark, specFor(sfDir)), DedupConfig.balanced)
+      Pipeline.runPipelined(ConversationGen.corpus(spark, specFor(sfDir)), DedupConfig.balanced)
     })
 
   /** Flagship: full dedup pipeline (reassembly → MinHash/LSH → verify →

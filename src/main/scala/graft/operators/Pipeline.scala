@@ -34,15 +34,18 @@ object Pipeline {
     clusters: Dataset[ClusterRow],
     metrics: Seq[StageMetric])
 
-  /** Deterministic input fingerprint: order-independent aggregate of per-row
-    * hashes (≙ the reference's MD5 over (path, mtime, size) of all inputs). */
-  def inputFingerprint(turns: Dataset[Turn]): String = {
+  /** Deterministic input fingerprint + row count in ONE job: order-
+    * independent aggregate of per-row hashes (≙ the reference's MD5 over
+    * (path, mtime, size) of all inputs). */
+  def fingerprintAndCount(turns: Dataset[Turn]): (String, Long) = {
     val row = turns
       .select(xxhash64(col("conv_id"), col("turn_idx"), col("text")).as("h"))
       .agg(bit_xor(col("h")).as("s"), count(lit(1)).as("n")) // xor: order-independent, ANSI-overflow-safe
       .head()
-    f"${row.getLong(0)}%016x_${row.getLong(1)}"
+    (f"${row.getLong(0)}%016x_${row.getLong(1)}", row.getLong(1))
   }
+
+  def inputFingerprint(turns: Dataset[Turn]): String = fingerprintAndCount(turns)._1
 
   private def stagePath(dir: String, cfg: DedupConfig, hash: String, stage: String) =
     s"$dir/${cfg.cacheVersion}/$hash/$stage"
@@ -70,6 +73,52 @@ object Pipeline {
     }
   }
 
+  /**
+   * Pipelined variant for throughput paths (Bench/ScalingBench): ONE
+   * materializing action instead of a per-stage count barrier — funnel
+   * metrics ride the same action via Dataset.observe (zero extra jobs).
+   * The eager `run` keeps per-stage wall times for diagnosis and is the
+   * only mode with checkpoint/resume (stage writes are actions anyway).
+   * Amdahl motivation: at local[2]→local[8] the per-stage driver barriers
+   * were ~40% of wall time, capping scaling efficiency at ~0.47.
+   */
+  def runPipelined(turns: Dataset[Turn],
+                   cfg: DedupConfig = DedupConfig.balanced,
+                   runId: String = "run"): Result = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.Observation
+
+    if (turns.storageLevel == org.apache.spark.storage.StorageLevel.NONE) turns.persist()
+    val (hash, nTurns) = fingerprintAndCount(turns)
+
+    def cnt = count(lit(1)).as("n")
+    val oSig = Observation(); val oCand = Observation()
+    val oVer = Observation(); val oTier = Observation()
+
+    val sigs = Signatures.compute(Reassembly.assemble(turns), cfg)
+      .observe(oSig, cnt).persist()
+    val cands = LshJoin.candidates(sigs, cfg).observe(oCand, cnt).persist()
+    val verified = Verification.verify(cands, sigs, cfg).observe(oVer, cnt).persist()
+    val tiered = TierGate(verified, cfg).observe(oTier, cnt).persist()
+    val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
+      .select($"conv_a", $"conv_b")
+    val t0 = System.nanoTime()
+    // cluster() acts internally — the single materialization of the DAG
+    val clusters = ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters)
+    clusters.count()
+    val totalMs = (System.nanoTime() - t0) / 1000000L
+    val ts = java.time.Instant.now.toString
+    def n(o: Observation) = o.get("n").asInstanceOf[Long]
+    val counts = Seq(
+      ("signatures", nTurns, n(oSig)), ("candidates", n(oSig), n(oCand)),
+      ("verified", n(oCand), n(oVer)), ("tiered", n(oVer), n(oTier)))
+    val metrics = counts.map { case (s, in, out) =>
+      StageMetric(runId, s, in, out, -1L, ts)
+    } :+ StageMetric(runId, "pipeline_total", nTurns, n(oTier), totalMs, ts)
+    Result(hash, sigs, cands, verified, tiered, clusters, metrics)
+  }
+
   def run(turns: Dataset[Turn], cfg: DedupConfig = DedupConfig.balanced,
           checkpointDir: Option[String] = None,
           runId: String = "run"): Result = {
@@ -93,8 +142,7 @@ object Pipeline {
     // input is consumed by fingerprint, count, and reassembly — cache it
     // (no-op if the caller already persisted the same plan)
     if (turns.storageLevel == org.apache.spark.storage.StorageLevel.NONE) turns.persist()
-    val hash = inputFingerprint(turns)
-    val nTurns = turns.count()
+    val (hash, nTurns) = fingerprintAndCount(turns)
 
     val (sigs, sigsHit) = stage(spark, checkpointDir, cfg, hash, "sigs") {
       Signatures.compute(Reassembly.assemble(turns), cfg)

@@ -50,6 +50,20 @@ class PipelineSmokeSpec extends SparkSpec {
     assert(recall >= 0.90, s"recall=$recall missed=${missed.map(_.transform_type).mkString(",")}")
   }
 
+  test("runPipelined (observe-based metrics, one action) matches eager run") {
+    import spark.implicits._
+    val turns = ConversationGen.corpus(spark, ConversationGen.smoke)
+    val p = Pipeline.runPipelined(turns, DedupConfig.balanced)
+    val a = result.tiered.select($"pair_key", $"tier").as[(String, String)].collect().toSet
+    val b = p.tiered.select($"pair_key", $"tier").as[(String, String)].collect().toSet
+    assert(a == b)
+    val eager = result.metrics.map(m => m.stage -> m.output_count).toMap
+    val piped = p.metrics.map(m => m.stage -> m.output_count).toMap
+    Seq("signatures", "candidates", "verified", "tiered").foreach { s =>
+      assert(piped(s) == eager(s), s"stage $s: piped=${piped(s)} eager=${eager(s)}")
+    }
+  }
+
   test("candidate output cap keeps the highest-scoring pairs (F4)") {
     import org.apache.spark.sql.functions._
     val capped = LshJoin.candidates(result.sigs,
