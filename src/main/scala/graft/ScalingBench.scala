@@ -48,7 +48,9 @@ object ScalingBench {
     val spark = Bench.session(cpus.toString)
     try {
       val spec = sources.ConversationGen.CorpusSpec(nBase, 60, 400)
-      val corpus = sources.ConversationGen.corpus(spark, spec)
+      // persist + count BEFORE the clock: the timed window measures the
+      // dedup job, not synthetic-input generation
+      val corpus = sources.ConversationGen.corpus(spark, spec).persist()
       val nTurns = corpus.count()
       val t0 = System.nanoTime()
       val result = operators.Pipeline.runPipelined(corpus, model.DedupConfig.balanced)
