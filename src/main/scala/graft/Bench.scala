@@ -11,14 +11,36 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
+  /** Delete a directory tree (best-effort cleanup of tmpfs shuffle dirs). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+  private val hookRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def session(cpus: String): SparkSession = {
     // Shuffle/spill through tmpfs: local-mode shuffle otherwise serializes
     // on the single shared /tmp disk, which (unlike real per-executor NVMe)
     // does not scale with parallelism — this makes the two-parallelism
     // scaling proxy reflect compute, not one disk's bandwidth.
-    val shmDir = new java.io.File("/dev/shm/graft-spark")
-    val localDir = if (shmDir.isDirectory || shmDir.mkdirs()) shmDir.getPath
-                   else System.getProperty("java.io.tmpdir")
+    // Per-run PID-suffixed subdir + shutdown-hook cleanup: tmpfs is
+    // RAM-backed, so shuffle files left by killed/overlapping bench JVMs
+    // would eat physical memory and skew later measurements. Stale dirs from
+    // dead PIDs are reaped here too.
+    val shmRoot = new java.io.File("/dev/shm/graft-spark")
+    val shmDir = new java.io.File(shmRoot, s"run-${ProcessHandle.current.pid}")
+    val localDir = if (shmDir.isDirectory || shmDir.mkdirs()) {
+      val stale = shmRoot.listFiles()
+      if (stale != null) stale.foreach { d =>
+        val pid = d.getName.stripPrefix("run-")
+        if (d.getName.startsWith("run-") && pid.forall(_.isDigit) &&
+            !new java.io.File(s"/proc/$pid").exists()) deleteRecursively(d)
+      }
+      if (hookRegistered.compareAndSet(false, true))
+        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(shmDir)))
+      shmDir.getPath
+    } else System.getProperty("java.io.tmpdir")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -61,13 +83,22 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - q0) / 1e9
+      // a broken query must NOT benchmark as fast-and-green: record the error
+      val err = try { fn(spark, sfDir).count(); None }
+                catch { case e: Throwable =>
+                  Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+                    .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)) }
+      (name, (System.nanoTime() - q0) / 1e9, err)
     }
-    val qs = (results :+ ("pipeline_e2e" -> pipeSec))
+    val qs = (results.map(r => (r._1, r._2)) :+ ("pipeline_e2e" -> pipeSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val errs = results.collect { case (name, _, Some(e)) => "\"" + name + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipeSec
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","n_turns":$nTurns,"turns_per_sec":${f"$turnsPerSec%.1f"}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_turns":$nTurns,"turns_per_sec":${f"$turnsPerSec%.1f"}}""")
+    if (results.exists(_._3.isDefined))
+      System.err.println(s"[bench] ${results.count(_._3.isDefined)} queries FAILED: " +
+        results.collect { case (n, _, Some(e)) => s"$n ($e)" }.mkString("; "))
     spark.stop()
   }
 }

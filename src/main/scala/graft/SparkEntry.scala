@@ -441,8 +441,11 @@ object SparkEntry {
          SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM p
          WHERE cos >= 0.45""",
     "q1_agg" ->
+      // NB: DuckDB sum(BIGINT) returns HUGEINT (int128) — the driver's hasher
+      // is representation-strict, so cast back to BIGINT to match Spark's
+      // LongType (the one type divergence unique to this query).
       """SELECT l_returnflag, l_linestatus,
-           sum(l_quantity::BIGINT) AS sum_qty,
+           sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
            sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base,
            sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(18,4))::DOUBLE AS revenue,
            count(*) AS n

@@ -45,7 +45,11 @@ object Expr0 {
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
     var s = 0.0; var i = 0
-    while (i < n) { s += x(i) * y(i); i += 1 } // left-to-right: bit-equal to aggregate(zip_with)
+    // Left-to-right accumulation: bit-equal to aggregate(zip_with) for
+    // EQUAL-length inputs (the only internal use). Unequal lengths truncate
+    // to the shorter array, whereas the zip_with chain would yield NULL
+    // (null-padded products) — documented divergence on the SQL surface.
+    while (i < n) { s += x(i) * y(i); i += 1 }
     s
   }
 }

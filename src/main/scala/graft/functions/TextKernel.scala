@@ -121,11 +121,16 @@ object TextKernel {
     sig
   }
 
-  /** Estimated Jaccard from two MinHash signatures (fraction of agreeing perms). */
+  /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
+    * perms). Compares min(|a|,|b|) positions and returns 0.0 on empty input
+    * — the pipeline always passes fixed-length signatures, but the function
+    * is SQL-exposed as `minhash_est` so arbitrary arrays must not throw. */
   def minhashEstimate(sa: Array[Long], sb: Array[Long]): Double = {
+    val n = math.min(sa.length, sb.length)
+    if (n == 0) return 0.0
     var eq = 0; var i = 0
-    while (i < sa.length) { if (sa(i) == sb(i)) eq += 1; i += 1 }
-    eq.toDouble / sa.length
+    while (i < n) { if (sa(i) == sb(i)) eq += 1; i += 1 }
+    eq.toDouble / n
   }
 
   /**
