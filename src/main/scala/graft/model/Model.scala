@@ -100,8 +100,15 @@ case class DedupConfig(
   simThreshold: Double = 0.25,   // candidate keep threshold on est-Jaccard (F1);
                                  //   ≥6σ below the weakest true-dup J (0.42)
   simhashMaxDist: Int = 3,       // PHASH_MAX_DIST=3 parity (ai_...AUTO.py:95)
-  bandBucketCap: Int = 2000,     // per-band bucket size cap (skew armor; reference caps output 120k)
-  maxOutputPairs: Int = 120000,  // CLIP_MAX_OUTPUT_PAIRS (ai_...AUTO.py:99)
+  bandBucketCap: Int = 256,      // sub-bucket size: over-cap buckets are
+                                 //   SALTED into cap-sized sub-buckets (never
+                                 //   dropped) — worst-case pairs per bucket
+                                 //   O(bucket·cap), not O(bucket²)
+  maxPairsPerDoc: Int = 64,      // F4 output cap PER DOCUMENT (reference
+                                 //   analog TILE_MAX_TILES_PER_PANEL,
+                                 //   tile_detection.py:36 — replaces the
+                                 //   global CLIP_MAX_OUTPUT_PAIRS driver
+                                 //   funnel, ai_...AUTO.py:99)
   tierAJaccard: Double = 0.90,   // strict path ≙ CLIP≥0.99 ∧ SSIM≥0.95
   tierARelaxJaccard: Double = 0.78, // relaxed path ≙ CLIP≥0.94 ∧ SSIM≥0.65 ∧ sum≥1.62
   tierARelaxSum: Double = 1.45,  // minhash_est + jaccard floor on relaxed path

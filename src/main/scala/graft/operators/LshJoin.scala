@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Observation}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.{CandidatePair, DedupConfig, DocSig}
 
@@ -10,22 +11,38 @@ import graft.model.{CandidatePair, DedupConfig, DocSig}
  * (/root/reference/ai_pdf_panel_duplicate_check_AUTO.py:4002-4069) and its
  * bundle variant (similarity_engine.py:468-583).
  *
- * Shape: explode band keys → eliminate singleton buckets and CAP oversized
- * buckets (the skew armor the reference lacks — SURVEY.md §4 "Skew
- * handling"; its analog is the 120k output cap) → within-bucket equi-join
- * with `a.conv_id < b.conv_id` (upper triangle) → per-pair dedup keeping the
- * lowest band id → join MinHash signatures back per endpoint → estimate
- * filter.
+ * Shape: explode band keys → eliminate singleton buckets → SALT over-cap
+ * buckets into cap-sized sub-buckets (deterministic conv_id hash) →
+ * within-sub-bucket equi-join with `a.conv_id < b.conv_id` (upper triangle)
+ * + one bridge chain linking sub-bucket representatives (so a salted
+ * mega-family still forms ONE connected component downstream) → per-pair
+ * dedup keeping the lowest band id → join MinHash signatures back per
+ * endpoint → estimate filter → per-doc output cap.
+ *
+ * Skew armor (the part the reference lacks — its giant-bucket loop at
+ * ai_...AUTO.py:4037-4045 is O(bucket²) unconditionally):
+ *   - over-cap buckets are never dropped: each member still meets O(cap)
+ *     partners inside its salted sub-bucket, and bridges keep the bucket
+ *     connected — worst-case pair fan-out per bucket is O(bucket·cap)
+ *     instead of O(bucket²);
+ *   - the SAME salt-and-cap discipline applies to the J4 bundle-variant
+ *     path, so an m-member boilerplate family of identical conversations
+ *     costs O(m·cap) pairs, not m²/2;
+ *   - the output cap is PER DOCUMENT (reference analog
+ *     TILE_MAX_TILES_PER_PANEL, tile_detection.py:36), not one global
+ *     TakeOrderedAndProject funneling every pair through the driver: a pair
+ *     survives if either endpoint ranks it in its top-maxPairsPerDoc by
+ *     (bundle-evidence-first, estimate desc) — bundle/exact hits can never
+ *     be evicted by a band flood of high-estimate LSH pairs.
  *
  * Scale discipline: the exploded band table carries ONLY (conv_id, band_id,
  * band_key) — 24 bytes/row — never the signature arrays; signatures join in
  * AFTER pair dedup, so the wide shuffles stay narrow (at 21k docs this cut
- * the candidate stage ~5x). Bucket caps bound worst-case fan-out to cap² per
- * bucket; capped buckets are counted, never silently dropped (`capStats`).
+ * the candidate stage ~5x).
  */
 object LshJoin {
 
-  case class CapStats(totalBuckets: Long, pairedBuckets: Long, cappedBuckets: Long)
+  case class CapStats(totalBuckets: Long, pairedBuckets: Long, saltedBuckets: Long)
 
   /** Exploded (conv_id, band_id, band_key) table — deliberately array-free. */
   private def bandTable(sigs: Dataset[DocSig]): DataFrame =
@@ -33,38 +50,84 @@ object LshJoin {
       posexplode(col("bands")).as(Seq("band_id", "band_key")))
 
   /**
+   * Within-bucket pair generation with singleton-drop + salted sub-bucketing
+   * for over-cap buckets. `items` must have (conv_id, <keys...>); emits
+   * (conv_a, conv_b, band_id, source) with conv_a < conv_b.
+   *
+   * Salt is keyed on conv_id ONLY, so a mega-family sub-buckets identically
+   * in every band — unique pair volume stays O(m·cap) across all bands
+   * rather than O(m·cap·bands). Connectivity across sub-buckets comes from
+   * the bridge chain: per over-cap bucket, the min conv_id of each
+   * sub-bucket is linked to the next sub-bucket's representative.
+   */
+  private def saltedBucketPairs(items: DataFrame, keys: Seq[String], cap: Int,
+                                bandIdCol: Column, source: String,
+                                obs: Option[Observation]): DataFrame = {
+    val kcols = keys.map(col)
+    val sized = items.groupBy(kcols: _*).agg(count(lit(1)).as("bsz"))
+    val sizedObs = obs.map(o => sized.observe(o,
+        count(lit(1)).as("total_buckets"),
+        sum(when(col("bsz") >= 2, 1L).otherwise(0L)).as("paired_buckets"),
+        sum(when(col("bsz") > cap, 1L).otherwise(0L)).as("salted_buckets")))
+      .getOrElse(sized)
+    val eligible = sizedObs.filter(col("bsz") >= 2)
+      .withColumn("n_salts", ceil(col("bsz").cast("double") / cap).cast("int"))
+      .select(kcols :+ col("n_salts"): _*)
+    val b2 = items.join(eligible, keys)
+      .withColumn("salt",
+        when(col("n_salts") <= 1, lit(0))
+          .otherwise(pmod(xxhash64(col("conv_id")), col("n_salts")).cast("int")))
+
+    val joinKeys = keys :+ "salt"
+    val joinCond = joinKeys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col("x.conv_id") < col("y.conv_id")
+    val inBucket = b2.as("x").join(b2.as("y"), joinCond)
+      .select(col("x.conv_id").as("conv_a"), col("y.conv_id").as("conv_b"),
+        bandIdCol.as("band_id"), lit(source).as("source"))
+
+    // bridge chain: consecutive sub-bucket representatives of over-cap
+    // buckets (n_salts-1 extra pairs per bucket — O(bsz/cap), negligible)
+    val reps = b2.filter(col("n_salts") > 1)
+      .groupBy(kcols :+ col("salt"): _*).agg(min(col("conv_id")).as("conv_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(kcols: _*).orderBy(col("salt"))))
+    val bridges = reps.as("x").join(reps.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+        col("y.rk") === col("x.rk") + 1)
+      .select(
+        least(col("x.conv_id"), col("y.conv_id")).as("conv_a"),
+        greatest(col("x.conv_id"), col("y.conv_id")).as("conv_b"),
+        bandIdCol.as("band_id"), lit(source).as("source"))
+      .filter(col("conv_a") =!= col("conv_b"))
+
+    inBucket.unionByName(bridges)
+  }
+
+  /**
    * Candidate pairs from MinHash LSH banding, plus exact variant-fingerprint
    * collisions (J4 analog: any shared simhash-bundle variant is a candidate).
+   * `bucketObs` (optional) receives (total_buckets, paired_buckets,
+   * salted_buckets) of the LSH band table on the same action that
+   * materializes the candidates — the A4 funnel stats the reference logs as
+   * its O(n²)→O(Σb²) reduction, with zero extra jobs.
    */
-  def candidates(sigs: Dataset[DocSig], cfg: DedupConfig): Dataset[CandidatePair] = {
+  def candidates(sigs: Dataset[DocSig], cfg: DedupConfig,
+                 bucketObs: Option[Observation] = None): Dataset[CandidatePair] = {
     val spark = sigs.sparkSession
     import spark.implicits._
 
-    val bands = bandTable(sigs)
-    // bucket statistics: drop singletons (no pairs possible), cap hot buckets
-    val bucketSizes = bands.groupBy($"band_id", $"band_key")
-      .agg(count(lit(1)).as("bsz"))
-    val eligible = bucketSizes
-      .filter($"bsz" >= 2 && $"bsz" <= cfg.bandBucketCap)
-      .select($"band_id", $"band_key")
-    val b2 = bands.join(eligible, Seq("band_id", "band_key"))
+    val lshPairs = saltedBucketPairs(
+      bandTable(sigs), Seq("band_id", "band_key"), cfg.bandBucketCap,
+      col("x.band_id"), "lsh", bucketObs)
 
-    val lshPairs = b2.as("x").join(b2.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.conv_id") < col("y.conv_id"))
-      .select(col("x.conv_id").as("conv_a"), col("y.conv_id").as("conv_b"),
-        col("x.band_id").as("band_id"), lit("lsh").as("source"))
-
-    // J4 analog: exact collisions of any normalization-variant fingerprint
+    // J4 analog: exact collisions of any normalization-variant fingerprint —
+    // same singleton-drop + salt discipline (an uncapped variant self-join
+    // would be m²/2 on template families, the most likely blowup at 100 TB)
     val variants = sigs.select(col("conv_id"),
       posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash")))
-    val bundlePairs = variants.as("x").join(variants.as("y"),
-        col("x.v_id") === col("y.v_id") &&
-        col("x.v_hash") === col("y.v_hash") &&
-        col("x.conv_id") < col("y.conv_id"))
-      .select(col("x.conv_id").as("conv_a"), col("y.conv_id").as("conv_b"),
-        lit(-1).as("band_id"), lit("bundle").as("source"))
+    val bundlePairs = saltedBucketPairs(
+      variants, Seq("v_id", "v_hash"), cfg.bandBucketCap,
+      lit(-1), "bundle", None)
 
     val uniquePairs = lshPairs.unionByName(bundlePairs)
       .groupBy($"conv_a", $"conv_b")
@@ -73,7 +136,7 @@ object LshJoin {
 
     // signatures join in only now — per unique pair, not per band row
     val mh = sigs.select($"conv_id", $"minhash")
-    uniquePairs
+    val scored = uniquePairs
       .join(mh.select($"conv_id".as("conv_a"), $"minhash".as("ma")), "conv_a")
       .join(mh.select($"conv_id".as("conv_b"), $"minhash".as("mb")), "conv_b")
       .withColumn("minhash_est",
@@ -84,23 +147,35 @@ object LshJoin {
         concat($"conv_a", lit("|"), $"conv_b").as("pair_key"),
         $"conv_a", $"conv_b", $"minhash_est", $"band_id".cast("int").as("band_id"),
         $"source")
-      // F4 output cap (CLIP_MAX_OUTPUT_PAIRS analog, ai_...AUTO.py:99,
-      // applied score-desc at similarity_engine.py:253-258): bounds the
-      // verify-join fan-in when boilerplate families flood the bands.
-      // TakeOrderedAndProject — no full sort; deterministic tie-break.
-      .orderBy($"minhash_est".desc, $"pair_key")
-      .limit(cfg.maxOutputPairs)
+
+    // F4 output cap, PER DOCUMENT (CLIP_MAX_OUTPUT_PAIRS re-scoped to the
+    // TILE_MAX_TILES_PER_PANEL per-item shape): keep a pair if either
+    // endpoint ranks it top-k by (bundle-first, estimate desc, pair_key).
+    // Bundle pairs rank 1.0 ≥ any estimate, so exact-dup evidence is never
+    // evicted by a band flood. Two hash-partitioned window passes — no
+    // global sort, no driver funnel, plan survives 100× corpus growth.
+    val k = cfg.maxPairsPerDoc
+    val rankScore = greatest($"minhash_est",
+      when($"source".contains("bundle"), lit(1.0)).otherwise(lit(0.0)))
+    val wA = Window.partitionBy($"conv_a").orderBy(rankScore.desc, $"pair_key")
+    val wB = Window.partitionBy($"conv_b").orderBy(rankScore.desc, $"pair_key")
+    scored
+      .withColumn("rk_a", row_number().over(wA))
+      .withColumn("rk_b", row_number().over(wB))
+      .filter($"rk_a" <= k || $"rk_b" <= k)
+      .drop("rk_a", "rk_b")
       .as[CandidatePair]
   }
 
   /** Bucket-size funnel stats (A4 analog of the reference's logged
-    * O(n²)→O(Σb²) reduction, ai_...AUTO.py:4026-4031). */
+    * O(n²)→O(Σb²) reduction, ai_...AUTO.py:4026-4031). Standalone-job
+    * variant of the `bucketObs` observation (diagnosis/tests). */
   def capStats(sigs: Dataset[DocSig], cfg: DedupConfig): CapStats = {
     val sizes = bandTable(sigs).groupBy("band_id", "band_key").count()
     val agg = sizes.agg(
       count(lit(1)).as("total"),
       sum(when(col("count") >= 2, 1L).otherwise(0L)).as("paired"),
-      sum(when(col("count") > cfg.bandBucketCap, 1L).otherwise(0L)).as("capped")
+      sum(when(col("count") > cfg.bandBucketCap, 1L).otherwise(0L)).as("salted")
     ).head()
     CapStats(agg.getLong(0), agg.getLong(1), agg.getLong(2))
   }

@@ -47,6 +47,15 @@ object Pipeline {
 
   def inputFingerprint(turns: Dataset[Turn]): String = fingerprintAndCount(turns)._1
 
+  /** Non-blocking observation read (getOrEmpty is private[sql]): empty map
+    * when the observed plan never executed (e.g. checkpoint-resume hit). */
+  private def bucketRow(o: org.apache.spark.sql.Observation): Map[String, Any] =
+    o.future.value.flatMap(_.toOption) match {
+      case Some(row) if row.schema != null =>
+        row.schema.fieldNames.map(f => f -> row.getAs[Any](f)).toMap
+      case _ => Map.empty
+    }
+
   private def stagePath(dir: String, cfg: DedupConfig, hash: String, stage: String) =
     s"$dir/${cfg.cacheVersion}/$hash/$stage"
 
@@ -95,10 +104,12 @@ object Pipeline {
     def cnt = count(lit(1)).as("n")
     val oSig = Observation(); val oCand = Observation()
     val oVer = Observation(); val oTier = Observation()
+    val oBuckets = Observation()
 
     val sigs = Signatures.compute(Reassembly.assemble(turns), cfg)
       .observe(oSig, cnt).persist()
-    val cands = LshJoin.candidates(sigs, cfg).observe(oCand, cnt).persist()
+    val cands = LshJoin.candidates(sigs, cfg, Some(oBuckets))
+      .observe(oCand, cnt).persist()
     val verified = Verification.verify(cands, sigs, cfg).observe(oVer, cnt).persist()
     val tiered = TierGate(verified, cfg).observe(oTier, cnt).persist()
     val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
@@ -113,9 +124,17 @@ object Pipeline {
     val counts = Seq(
       ("signatures", nTurns, n(oSig)), ("candidates", n(oSig), n(oCand)),
       ("verified", n(oCand), n(oVer)), ("tiered", n(oVer), n(oTier)))
+    // LSH bucket funnel (A4 analog of the reference's logged O(n²)→O(Σb²)
+    // reduction): total→paired buckets, plus how many were salted — rides
+    // the same action via the observation LshJoin attached to the bucket agg
+    val buck = bucketRow(oBuckets)
+    def bl(k: String) = buck.get(k).map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val bucketMetrics = if (buck.isEmpty) Nil else Seq(
+      StageMetric(runId, "lsh_buckets_paired", bl("total_buckets"), bl("paired_buckets"), -1L, ts),
+      StageMetric(runId, "lsh_buckets_salted", bl("total_buckets"), bl("salted_buckets"), -1L, ts))
     val metrics = counts.map { case (s, in, out) =>
       StageMetric(runId, s, in, out, -1L, ts)
-    } :+ StageMetric(runId, "pipeline_total", nTurns, n(oTier), totalMs, ts)
+    } ++ bucketMetrics :+ StageMetric(runId, "pipeline_total", nTurns, n(oTier), totalMs, ts)
     Result(hash, sigs, cands, verified, tiered, clusters, metrics)
   }
 
@@ -149,10 +168,20 @@ object Pipeline {
     }
     val nDocs = timedCount("signatures", nTurns, sigs, sigsHit)
 
+    val oBuckets = org.apache.spark.sql.Observation()
     val (cands, candsHit) = stage(spark, checkpointDir, cfg, hash, "candidates") {
-      LshJoin.candidates(sigs, cfg)
+      LshJoin.candidates(sigs, cfg, Some(oBuckets))
     }
     val nCands = timedCount("candidates", nDocs, cands, candsHit)
+    val buck = bucketRow(oBuckets) // empty on checkpoint hit (plan never ran)
+    if (buck.nonEmpty) {
+      def bl(k: String) = buck(k).asInstanceOf[Long]
+      val ts = java.time.Instant.now.toString
+      metrics += StageMetric(runId, "lsh_buckets_paired",
+        bl("total_buckets"), bl("paired_buckets"), -1L, ts)
+      metrics += StageMetric(runId, "lsh_buckets_salted",
+        bl("total_buckets"), bl("salted_buckets"), -1L, ts)
+    }
 
     val (verified, verHit) = stage(spark, checkpointDir, cfg, hash, "verified") {
       Verification.verify(cands, sigs, cfg)
