@@ -59,7 +59,9 @@ case class VerifiedPair(
   span_frac: Double,
   source: String)
 
-/** Tiered pair after gating (T1/T2 analog). */
+/** Tiered pair after gating (T1/T2 analog). pair_type is the routed
+  * content class the thresholds were keyed on ("cross" when endpoints
+  * disagree, "default" when no profile was supplied). */
 case class TieredPair(
   pair_key: String,
   conv_a: String,
@@ -72,12 +74,27 @@ case class TieredPair(
   max_span_len: Int,
   span_frac: Double,
   clip_z_analog: Double,
+  pair_type: String,
   tier: String,
   tier_path: String,
   source: String)
 
 /** Connected-component cluster assignment. */
 case class ClusterRow(conv_id: String, cluster_id: String, cluster_size: Long)
+
+/**
+ * Per-content-class tier thresholds (T2 analog — the reference's
+ * modality-specific threshold table, tier_classifier.py:233-353 with
+ * constants at ai_...AUTO.py:222-253). Classes come from
+ * IntraDup.convProfile routing; a pair whose endpoints route differently
+ * falls back to the base thresholds ("cross-modality fallback").
+ */
+case class TypeGates(
+  tierAJaccard: Double,
+  tierARelaxJaccard: Double,
+  tierARelaxSum: Double,
+  tierBJaccard: Double,
+  zVeto: Double)
 
 /**
  * Pipeline configuration — mirrors the reference's threshold constants
@@ -117,7 +134,18 @@ case class DedupConfig(
   spanMinFrac: Double = 0.30,
   zVeto: Double = 1.5,           // template-lookalike veto (CLIP_Z analog, ai_...AUTO.py:870-885)
   ccMaxIters: Int = 25,
-  cacheVersion: String = "v1")
+  cacheVersion: String = "v1",
+  // T2: per-content-class threshold overrides keyed on the convProfile
+  // route (tier_classifier.py:233-353 analog). Classes absent from the map
+  // — and "cross"-typed pairs — use the base thresholds above.
+  //   tool_heavy: tool dumps are template-heavy → stricter relax/B gates +
+  //     a more aggressive z veto (the reference tightens western_blot/gel
+  //     the same way);
+  //   longform: long documents give stable shingle statistics → the relax
+  //     band can afford to be slightly wider (reference: bright_field).
+  typeGates: Map[String, TypeGates] = Map(
+    "tool_heavy" -> TypeGates(0.92, 0.85, 1.60, 0.40, 2.0),
+    "longform"   -> TypeGates(0.90, 0.75, 1.40, 0.30, 1.5)))
 
 object DedupConfig {
   /** Presets mirroring models/config.py:222-265 (fast/balanced/thorough). */

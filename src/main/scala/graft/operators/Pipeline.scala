@@ -111,7 +111,9 @@ object Pipeline {
     val cands = LshJoin.candidates(sigs, cfg, Some(oBuckets))
       .observe(oCand, cnt).persist()
     val verified = Verification.verify(cands, sigs, cfg).observe(oVer, cnt).persist()
-    val tiered = TierGate(verified, cfg).observe(oTier, cnt).persist()
+    // T2 routing: content-type profile keys the per-class tier thresholds
+    val tiered = TierGate(verified, cfg, Some(IntraDup.convProfile(turns)))
+      .observe(oTier, cnt).persist()
     val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
       .select($"conv_a", $"conv_b")
     val t0 = System.nanoTime()
@@ -189,7 +191,7 @@ object Pipeline {
     val nVer = timedCount("verified", nCands, verified, verHit)
 
     val (tiered, tierHit) = stage(spark, checkpointDir, cfg, hash, "tiered") {
-      TierGate(verified, cfg)
+      TierGate(verified, cfg, Some(IntraDup.convProfile(turns)))
     }
     timedCount("tiered", nVer, tiered, tierHit)
 

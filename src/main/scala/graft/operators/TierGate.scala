@@ -1,11 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import graft.model.{DedupConfig, TieredPair, VerifiedPair}
+import graft.model.{DedupConfig, TieredPair, TypeGates, VerifiedPair}
 
 /**
- * Evidence z-score + tier gating (SURVEY.md §2.3 X12, §2.9 T1/T2).
+ * Evidence z-score + tier gating (SURVEY.md §2.3 X12, §2.9 T1/T2/T3).
  *
  * ZScore: degree-normalized similarity per endpoint — for each conversation,
  * the mean/stddev of its candidate-edge scores; a pair's z is the MIN of its
@@ -17,8 +17,22 @@ import graft.model.{DedupConfig, TieredPair, VerifiedPair}
  *
  * TierGate: a single Catalyst `when` expression tree over evidence columns —
  * the port of apply_tier_gating's disjunction-of-paths with first-match
- * provenance and an FP veto (ai_...AUTO.py:688-1023). Fully codegen'd,
- * constant-folded, no UDF.
+ * provenance, an FP veto, and a deep-verify override (ai_...AUTO.py:688-1023
+ * and :887-986). Fully codegen'd, constant-foldable per type branch, no UDF.
+ *
+ * T2 (modality-specific thresholds, tier_classifier.py:233-353): when a
+ * content-type profile is supplied, each pair's thresholds are keyed on its
+ * routed class (both endpoints same class) with a cross-class fallback to
+ * the base thresholds — the exact-fingerprint path stays an unconditional
+ * override, like the reference's exact-match override.
+ *
+ * T3 (deep-verify second pass, ai_...AUTO.py:887-986): a pair vetoed on the
+ * relaxed path is NOT dead — it is re-tested against the expensive evidence
+ * (substring-span + patchwise top-k, which Verification computes lazily
+ * exactly for these inconclusive pairs) and promoted to Tier A with
+ * provenance "deep_verified" if that second, independent signal set agrees.
+ * Mirrors the reference precedence: the veto is excluded from the Tier-A
+ * mask but deep verify can flip it (ai_...AUTO.py:909-912, 988-1021).
  */
 object TierGate {
 
@@ -43,41 +57,85 @@ object TierGate {
       .drop("mu_a", "sigma_a", "mu_b", "sigma_b")
   }
 
-  /** The tier truth table. Input: verified pairs + clip_z_analog column. */
+  /** Attach pair_type from a (conv_id, content_type) profile: the routed
+    * class when both endpoints agree, "cross" otherwise (T2 routing). */
+  def withPairType(pairsWithZ: DataFrame, profiles: Option[DataFrame]): DataFrame =
+    profiles match {
+      case Some(p) =>
+        val ct = p.select(col("conv_id"), col("content_type"))
+        pairsWithZ
+          .join(ct.select(col("conv_id").as("conv_a"), col("content_type").as("ct_a")), Seq("conv_a"), "left")
+          .join(ct.select(col("conv_id").as("conv_b"), col("content_type").as("ct_b")), Seq("conv_b"), "left")
+          .withColumn("pair_type",
+            when(col("ct_a").isNull || col("ct_b").isNull, "default")
+              .when(col("ct_a") === col("ct_b"), col("ct_a"))
+              .otherwise("cross"))
+          .drop("ct_a", "ct_b")
+      case None => pairsWithZ.withColumn("pair_type", lit("default"))
+    }
+
+  /** The tier truth table. Input: verified pairs + clip_z_analog and
+    * pair_type columns (see withZScore / withPairType). */
   def gate(verifiedWithZ: DataFrame, cfg: DedupConfig): Dataset[TieredPair] = {
     val spark = verifiedWithZ.sparkSession
     import spark.implicits._
 
+    val in = if (verifiedWithZ.columns.contains("pair_type")) verifiedWithZ
+             else verifiedWithZ.withColumn("pair_type", lit("default"))
+
+    // T2 threshold lookup: per-class override chain over the base value —
+    // a pure when-tree on pair_type, constant-folded by Catalyst per branch
+    def thr(pick: TypeGates => Double, base: Double): Column =
+      cfg.typeGates.foldLeft(lit(base)) { case (acc, (t, g)) =>
+        when(col("pair_type") === t, lit(pick(g))).otherwise(acc)
+      }
+    val strictJ = thr(_.tierAJaccard, cfg.tierAJaccard)
+    val relaxJ  = thr(_.tierARelaxJaccard, cfg.tierARelaxJaccard)
+    val relaxS  = thr(_.tierARelaxSum, cfg.tierARelaxSum)
+    val bandBJ  = thr(_.tierBJaccard, cfg.tierBJaccard)
+    val zVetoT  = thr(_.zVeto, cfg.zVeto)
+
     // Tier-A paths, first-match priority (≙ tier_path provenance,
-    // ai_...AUTO.py:995-1021):
+    // ai_...AUTO.py:995-1021). The exact-fingerprint path is an
+    // unconditional override — immune to type thresholds AND the veto,
+    // like the reference's exact-match override.
     val exactPath   = col("bundle_dist") <= cfg.simhashMaxDist           // ① pHash≤3 analog
-    val strictPath  = col("jaccard") >= cfg.tierAJaccard &&
-                      col("jaccard_patch_topk") >= cfg.tierAJaccard - 0.05 // ② CLIP≥0.99∧SSIM≥0.95
+    val strictPath  = col("jaccard") >= strictJ &&
+                      col("jaccard_patch_topk") >= strictJ - 0.05        // ② CLIP≥0.99∧SSIM≥0.95
     val spanPath    = col("max_span_len") >= cfg.spanMinLen &&
                       col("span_frac") >= cfg.spanMinFrac                // ③ ORB-geometry analog
-    val relaxedPath = col("jaccard") >= cfg.tierARelaxJaccard &&
-                      (col("minhash_est") + col("jaccard")) >= cfg.tierARelaxSum // ④ relaxed sum gate
+    val relaxedPath = col("jaccard") >= relaxJ &&
+                      (col("minhash_est") + col("jaccard")) >= relaxS    // ④ relaxed sum gate
 
-    // FP veto (≙ confocal-FP veto, ai_...AUTO.py:870-885): high candidate
-    // score but weak exact evidence and a low-z template neighborhood.
-    // Exact/strict/span paths are IMMUNE to the veto, exactly like the
+    // FP veto (≙ confocal-FP veto, ai_...AUTO.py:870-885): a low-z template
+    // neighborhood without strict or geometric evidence. Guards ONLY the
+    // relaxed path — exact/strict/span paths are immune, exactly like the
     // reference's Tier-A mask excluding the veto for geometric evidence.
-    val fpVeto = col("clip_z_analog") < cfg.zVeto &&
-                 col("jaccard") < cfg.tierARelaxJaccard &&
+    val fpVeto = col("clip_z_analog") < zVetoT &&
+                 col("jaccard") < strictJ &&
                  col("max_span_len") < cfg.spanMinLen
+
+    // T3 deep-verify override: the expensive second signal set (substring
+    // span + patchwise top-k — computed lazily by Verification exactly for
+    // inconclusive pairs like these) must agree for a vetoed pair to be
+    // rescued. Both sub-signals at half/relax strength TOGETHER ≙ the
+    // reference's ECC+SSIM+NCC re-test passing.
+    val deepPass = col("max_span_len") >= cfg.spanMinLen / 2 &&
+                   col("jaccard_patch_topk") >= relaxJ
 
     val tierPath =
       when(exactPath, "exact_fingerprint")
         .when(strictPath, "strict_jaccard")
         .when(spanPath, "substring_span")
         .when(relaxedPath && !fpVeto, "relaxed_sum")
+        .when(relaxedPath && deepPass, "deep_verified")
         .otherwise(lit(null).cast("string"))
 
-    val tierB = col("jaccard") >= cfg.tierBJaccard ||
+    val tierB = col("jaccard") >= bandBJ ||
                 col("simhash_dist") <= cfg.simhashMaxDist * 3 ||
                 col("max_span_len") >= cfg.spanMinLen / 2
 
-    verifiedWithZ
+    in
       .withColumn("tier_path", tierPath)
       .withColumn("tier",
         when(col("tier_path").isNotNull, "A")
@@ -90,13 +148,14 @@ object TierGate {
         when(col("tier") === "B", "band_b").otherwise("none")))
       .select($"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"jaccard",
         $"jaccard_patch_topk", $"simhash_dist", $"bundle_dist",
-        $"max_span_len", $"span_frac", $"clip_z_analog", $"tier", $"tier_path",
-        $"source")
+        $"max_span_len", $"span_frac", $"clip_z_analog", $"pair_type",
+        $"tier", $"tier_path", $"source")
       .as[TieredPair]
   }
 
-  def apply(pairs: Dataset[VerifiedPair], cfg: DedupConfig): Dataset[TieredPair] =
-    gate(withZScore(pairs), cfg)
+  def apply(pairs: Dataset[VerifiedPair], cfg: DedupConfig,
+            profiles: Option[DataFrame] = None): Dataset[TieredPair] =
+    gate(withPairType(withZScore(pairs), profiles), cfg)
 
   /**
    * Optional scored-gate column (SURVEY.md §2.3 X18 — the reference's

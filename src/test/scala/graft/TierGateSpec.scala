@@ -1,0 +1,80 @@
+package graft
+
+import graft.model._
+import graft.operators.TierGate
+
+/**
+ * Tier gate truth-table unit tests for the secondary gates:
+ *  - T3 deep-verify override (ai_...AUTO.py:887-986 analog): a template-
+ *    lookalike true dup vetoed by the z-score is rescued when the expensive
+ *    span+patch evidence agrees; without that evidence the veto holds.
+ *  - T2 per-content-type thresholds (tier_classifier.py:233-353 analog):
+ *    identical evidence gates differently under different routed classes,
+ *    with the exact-fingerprint path immune (exact-match override).
+ */
+class TierGateSpec extends SparkSpec {
+
+  private val cfg = DedupConfig.balanced
+  // (pair_key, a, b, est, jac, patch_topk, simhash_dist, bundle_dist,
+  //  max_span_len, span_frac, z, pair_type, source)
+  private type R = (String, String, String, Double, Double, Double, Int, Int,
+    Int, Double, Double, String, String)
+  private val cols = Seq("pair_key", "conv_a", "conv_b", "minhash_est",
+    "jaccard", "jaccard_patch_topk", "simhash_dist", "bundle_dist",
+    "max_span_len", "span_frac", "clip_z_analog", "pair_type", "source")
+
+  private def gate(rows: R*): Map[String, (String, String)] = {
+    import spark.implicits._
+    TierGate.gate(rows.toSeq.toDF(cols: _*), cfg)
+      .collect().map(t => t.pair_key -> (t.tier, t.tier_path)).toMap
+  }
+
+  test("T3: z-vetoed relaxed pair is rescued by deep verify, veto holds otherwise") {
+    // template-heavy TRUE dup: relaxed-range jaccard, boilerplate-hub z —
+    // vetoed — but the lazily-computed expensive evidence (span 120 ≥
+    // spanMinLen/2, patch_topk ≥ relax) agrees → promoted
+    val rescued = ("p1", "a1", "b1", 0.80, 0.80, 0.80, 20, 30, 120, 0.10, 0.2, "default", "lsh")
+    // same cheap evidence, expensive evidence DISAGREES → veto holds, Tier B
+    val vetoed = ("p2", "a2", "b2", 0.80, 0.80, 0.40, 20, 30, 10, 0.01, 0.2, "default", "lsh")
+    // same evidence in a normal (high-z) neighborhood → plain relaxed path
+    val normal = ("p3", "a3", "b3", 0.80, 0.80, 0.40, 20, 30, 10, 0.01, 5.0, "default", "lsh")
+    val out = gate(rescued, vetoed, normal)
+    assert(out("p1") == ("A", "deep_verified"), s"p1=${out("p1")}")
+    assert(out("p2") == ("B", "band_b"), s"p2=${out("p2")}")
+    assert(out("p3") == ("A", "relaxed_sum"), s"p3=${out("p3")}")
+  }
+
+  test("T2: identical evidence gates differently per routed content type") {
+    // jac 0.80 passes the base relax gate (0.78) but not tool_heavy's (0.85)
+    val asDefault = ("q1", "a1", "b1", 0.80, 0.80, 0.40, 20, 30, 10, 0.01, 5.0, "dialog", "lsh")
+    val asToolHeavy = ("q2", "a2", "b2", 0.80, 0.80, 0.40, 20, 30, 10, 0.01, 5.0, "tool_heavy", "lsh")
+    // longform widens the relax band: 0.76 ≥ 0.75 passes there, not at base
+    val asLongform = ("q3", "a3", "b3", 0.80, 0.76, 0.40, 20, 30, 10, 0.01, 5.0, "longform", "lsh")
+    val asCross = ("q4", "a4", "b4", 0.80, 0.76, 0.40, 20, 30, 10, 0.01, 5.0, "cross", "lsh")
+    val out = gate(asDefault, asToolHeavy, asLongform, asCross)
+    assert(out("q1") == ("A", "relaxed_sum"), s"q1=${out("q1")}")
+    assert(out("q2") == ("B", "band_b"), s"q2=${out("q2")}")
+    assert(out("q3") == ("A", "relaxed_sum"), s"q3=${out("q3")}")
+    assert(out("q4") == ("B", "band_b"), s"q4=${out("q4")}")
+  }
+
+  test("T2: exact-fingerprint path is an unconditional override per type") {
+    val exactTool = ("e1", "a1", "b1", 0.10, 0.10, 0.10, 2, 1, 0, 0.0, 0.0, "tool_heavy", "bundle")
+    val out = gate(exactTool)
+    assert(out("e1") == ("A", "exact_fingerprint"))
+  }
+
+  test("withPairType routes same-class pairs and cross-class fallback") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("x|y", "x", "y", 0.5), ("x|z", "x", "z", 0.5), ("x|w", "x", "w", 0.5))
+      .toDF("pair_key", "conv_a", "conv_b", "minhash_est")
+    val prof = Seq(("x", "tool_heavy"), ("y", "tool_heavy"), ("z", "dialog"))
+      .toDF("conv_id", "content_type")
+    val typed = TierGate.withPairType(pairs, Some(prof))
+      .collect().map(r => r.getAs[String]("pair_key") -> r.getAs[String]("pair_type")).toMap
+    assert(typed("x|y") == "tool_heavy") // both endpoints same class
+    assert(typed("x|z") == "cross")      // endpoints disagree
+    assert(typed("x|w") == "default")    // missing profile row
+  }
+}
