@@ -132,6 +132,10 @@ case class DedupConfig(
   tierBJaccard: Double = 0.32,   // ≥6σ below subst10's J, far above hard-negative J (~0.01)
   spanMinLen: Int = 200,         // exact-substring Tier-A evidence
   spanMinFrac: Double = 0.30,
+  spanEngine: String = "sa",     // span kernel: "sa" = exact generalized
+                                 //   suffix array (X15, north_rule stage);
+                                 //   "lcs" = probabilistic rolling-hash
+                                 //   binary search (fallback)
   zVeto: Double = 1.5,           // template-lookalike veto (CLIP_Z analog, ai_...AUTO.py:870-885)
   ccMaxIters: Int = 25,
   cacheVersion: String = "v1",

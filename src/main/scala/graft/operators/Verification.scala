@@ -16,10 +16,13 @@ import graft.model._
  *     /root/reference/duplicate_detector/core/similarity_engine.py:640-797)
  *   - SimHash Hamming distance + min-over-bundle distance with short-circuit
  *     (hamming_min_transform analog, similarity_engine.py:359-400)
- *   - longest-common-substring span over capped head text — computed ONLY on
- *     triggered pairs (progressive gating: the reference runs ORB only on
- *     CLIP≥0.985 ∨ pHash≤4 triggers, geometric_verifier.py:424-441; here the
- *     expensive span check runs only where cheap evidence is inconclusive)
+ *   - longest-common-substring span over capped head text — exact
+ *     generalized-suffix-array kernel (SuffixSpans, the north_rule's
+ *     per-partition suffix-array stage; cfg.spanEngine="lcs" selects the
+ *     rolling-hash fallback) — computed ONLY on triggered pairs
+ *     (progressive gating: the reference runs ORB only on CLIP≥0.985 ∨
+ *     pHash≤4 triggers, geometric_verifier.py:424-441; here the expensive
+ *     span check runs only where cheap evidence is inconclusive)
  *
  * Scale notes: pairs are repartitioned on the uniform pair_key hash so heavy
  * conversations never hot-spot one task (north_rule salting requirement);
@@ -51,6 +54,7 @@ object Verification {
     val topK = cfg.patchTopK
     val strictJ = cfg.tierAJaccard
     val cutoff = cfg.simhashMaxDist
+    val useSa = cfg.spanEngine == "sa"
 
     joined.select(
         $"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"source",
@@ -79,7 +83,13 @@ object Verification {
         // progressive gating: expensive span check only when cheap evidence
         // is inconclusive but the pair is plausible
         val needSpan = jac < strictJ && bunDist > cutoff && est >= 0.15
-        val span = if (needSpan) TextKernel.longestCommonSubstring(headA, headB) else 0
+        // X15 span evidence: exact generalized-suffix-array LCS by default
+        // (the north_rule's per-partition suffix-array stage, running where
+        // the two texts are already co-located); rolling-hash LCS fallback
+        val span =
+          if (!needSpan) 0
+          else if (useSa) SuffixSpans.lcsViaSuffixArray(headA, headB)
+          else TextKernel.longestCommonSubstring(headA, headB)
         val minLen = math.max(1, math.min(headA.length, headB.length))
         VerifiedPair(pk, a, b, est, jac, patchTopK, patchMin, shDist, bunDist,
           variant_matched = bunDist <= cutoff,

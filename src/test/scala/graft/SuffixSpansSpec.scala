@@ -33,6 +33,47 @@ class SuffixSpansSpec extends SparkSpec {
     assert(!spans.exists(s => s._1 == "d3" || s._2 == "d3"))
   }
 
+  test("lcsViaSuffixArray is exact: agrees with rolling-hash LCS and brute force") {
+    val rng = new graft.sources.ConversationGen.Rng(0xC0FFEE)
+    def randStr(n: Int): String =
+      (0 until n).map(_ => ('a' + rng.nextInt(4)).toChar).mkString // small alphabet → long shared runs
+    def brute(a: String, b: String): Int = {
+      var best = 0
+      for (i <- a.indices; j <- b.indices) {
+        var l = 0
+        while (i + l < a.length && j + l < b.length && a(i + l) == b(j + l)) l += 1
+        if (l > best) best = l
+      }
+      best
+    }
+    val cases = Seq(("", ""), ("abc", ""), ("abc", "abc"), ("abc", "xyz")) ++
+      (1 to 30).map(_ => (randStr(5 + rng.nextInt(120)), randStr(5 + rng.nextInt(120)))) ++
+      (1 to 5).map { _ => // planted long shared span
+        val shared = randStr(60)
+        (randStr(20) + shared + randStr(20), randStr(15) + shared + randStr(25))
+      }
+    cases.foreach { case (a, b) =>
+      val sa = SuffixSpans.lcsViaSuffixArray(a, b)
+      assert(sa == brute(a, b), s"SA=$sa brute=${brute(a, b)} for |a|=${a.length},|b|=${b.length}")
+      assert(sa == graft.functions.TextKernel.longestCommonSubstring(a, b))
+    }
+  }
+
+  test("packed suffix array matches suffixes order on a long mixed input") {
+    val rng = new graft.sources.ConversationGen.Rng(0xBEEF)
+    val s = Array.tabulate(3000)(i =>
+      if (i % 997 == 0) -(i / 997) - 1 else 'a' + rng.nextInt(3) + 256)
+    val sa = SuffixSpans.suffixArray(s)
+    assert(sa.length == s.length && sa.toSet == s.indices.toSet)
+    // spot-check global ordering on a sample of adjacent entries
+    def cmpSuffix(i: Int, j: Int): Boolean = {
+      var a = i; var b = j
+      while (a < s.length && b < s.length && s(a) == s(b)) { a += 1; b += 1 }
+      if (a == s.length) true else if (b == s.length) false else s(a) <= s(b)
+    }
+    (0 until sa.length - 1).foreach(i => assert(cmpSuffix(sa(i), sa(i + 1))))
+  }
+
   test("spansForPairs: distributed spans match per-group computation") {
     import spark.implicits._
     val shared = "a long exactly repeated span of text that both conversations contain verbatim"
