@@ -281,9 +281,14 @@ object SparkEntry {
     // MinHash-LSH candidates on the documents table (token-set shingles)
     "minhash_docs_lsh" -> ((s, d) =>
       DocDedup.minhashLshCandidates(s, t(s, d, "documents"))),      // J3
-    // LSH-bucketed ANN (scale path vs ann_cosine_topk brute force)
+    // LSH-bucketed ANN with multi-probe (near-dup-regime scale path;
+    // recall contract measured in AnnRecallSpec)
     "ann_lsh_topk" -> ((s, d) =>
       DocDedup.annLshTopK(t(s, d, "embeddings"))),
+    // IVF ANN (general top-k scale path: sampled spherical k-means
+    // centroids + nProbe inverted lists; recall ≥ 0.9 gate in AnnRecallSpec)
+    "ann_ivf_topk" -> ((s, d) =>
+      AnnIvf.annIvfTopK(t(s, d, "embeddings"))),
     // multimodal plumbing: binary payload manifest (oracled via md5)
     "multimodal_manifest" -> ((s, d) =>
       Multimodal.mediaManifest(t(s, d, "documents"))),

@@ -41,6 +41,52 @@ object Expr0 {
   def minhashEst(a: ArrayData, b: ArrayData): Double =
     TextKernel.minhashEstimate(a.toLongArray(), b.toLongArray())
 
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int), Array[Double]]()
+
+  /** Deterministic hyperplane weights for sign-LSH, flattened (plane-major).
+    * Derived from (seed, plane, dim) counter-mode hashing — no stored model,
+    * identical on every executor. */
+  private def planeWeights(nPlanes: Int, seed: Long, dims: Int): Array[Double] =
+    planeCache.computeIfAbsent((nPlanes, seed, dims), { k =>
+      val (np, sd, d) = k
+      val w = new Array[Double](np * d)
+      var p = 0
+      while (p < np) {
+        var i = 0
+        while (i < d) {
+          w(p * d + i) = Hashing.mix64(sd ^ (p.toLong << 32) ^ i.toLong).toDouble / Long.MaxValue
+          i += 1
+        }
+        p += 1
+      }
+      w
+    })
+
+  /** Sign-random-hyperplane LSH bucket of an embedding: bit p set iff the
+    * dot product with deterministic hyperplane p is ≥ 0. Bit-equal to the
+    * previous interpreted formulation (per-plane left-to-right Column sum of
+    * element_at products) but one tight JVM loop inside codegen. */
+  def hyperplaneSig(arr: ArrayData, nPlanes: Int, seed: Long, isFloat: Boolean): Long = {
+    val n = arr.numElements()
+    val w = planeWeights(nPlanes, seed, n)
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      val base = p * n
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += x * w(base + i)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   def dotArr(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
@@ -120,6 +166,33 @@ case class DotArr(left: Expression, right: Expression)
   override def prettyName: String = "dot_arr"
 }
 
+/** hyperplane_sig(embedding): sign-random-hyperplane LSH bucket (X6/J3
+  * analog for the embedding domain) — one codegen'd JVM loop instead of
+  * nPlanes × dims interpreted element_at expressions. Accepts float or
+  * double arrays (no cast pass needed on the scan). */
+case class HyperplaneSig(child: Expression, nPlanes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig needs array<float|double>, got $t")
+    }
+  override def nullSafeEval(v: Any): Any =
+    Expr0.hyperplaneSig(v.asInstanceOf[ArrayData], nPlanes, seed, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Expr0.hyperplaneSig($c, $nPlanes, ${seed}L, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+  override def prettyName: String = "hyperplane_sig"
+}
+
 /** minhash_est(a, b): estimated Jaccard = fraction of agreeing MinHash
   * positions — tight JVM loop inside codegen (replaces an interpreted
   * aggregate(zip_with) fallback in the candidate join's hot path). */
@@ -151,6 +224,8 @@ object GraftFunctions {
     column(DotArr(expression(a), expression(b)))
   def minhash_est(a: Column, b: Column): Column =
     column(MinhashEstExpr(expression(a), expression(b)))
+  def hyperplane_sig(c: Column, nPlanes: Int = 8, seed: Long = 7L): Column =
+    column(HyperplaneSig(expression(c), nPlanes, seed))
 
   /** Register for SQL use: SELECT simhash64(text) FROM docs. */
   def register(spark: SparkSession): Unit = {
@@ -161,5 +236,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head, 5, 128, 123L), "scala_udf")
     reg.createOrReplaceTempFunction("dot_arr", es => DotArr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_est", es => MinhashEstExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_sig", es => HyperplaneSig(es.head, 8, 7L), "scala_udf")
   }
 }

@@ -61,46 +61,51 @@ object DocDedup {
         round($"minhash_est", 6).as("minhash_est"), $"source")
   }
 
-  /** Embedding LSH bucketing (random-hyperplane signs): the scale path for
-    * ANN — bucket by sign pattern, search within bucket only. Hyperplanes
-    * derived deterministically from (seed, plane, dim) — no stored model. */
-  def embeddingLshBuckets(emb: DataFrame, nPlanes: Int = 12, seed: Long = 7L): DataFrame = {
-    // plane p component for dim i: gaussian-ish from counter-mode hash
-    // (sum of two uniforms - 1, adequate for sign-LSH)
-    val dims = 64
-    val planeCols = (0 until nPlanes).map { p =>
-      val dot = (0 until dims).map { i =>
-        val h = graft.functions.Hashing.mix64(seed ^ (p.toLong << 32) ^ i.toLong)
-        val w = (h.toDouble / Long.MaxValue) // in [-1, 1], deterministic
-        element_at(col("embedding"), i + 1).cast("double") * lit(w)
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
+  /** Embedding LSH bucketing (random-hyperplane signs): bucket by sign
+    * pattern, search within bucket only. Hyperplanes derived
+    * deterministically from (seed, plane, dim) — no stored model. The
+    * projection is ONE codegen'd expression (HyperplaneSig), not
+    * nPlanes × dims interpreted element_at columns. */
+  def embeddingLshBuckets(emb: DataFrame, nPlanes: Int = 12, seed: Long = 7L): DataFrame =
     emb.select(col("vec_id"), col("label"),
-      planeCols.reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-        a.bitwiseOR(b)).as("bucket"))
-  }
+      hyperplane_sig(col("embedding"), nPlanes, seed).as("bucket"))
 
-  /** Bucketed ANN: cosine top-k within LSH bucket only (the 100 TB path —
-    * candidate set per query shrinks by ~2^nPlanes vs brute force). */
-  def annLshTopK(emb: DataFrame, k: Int = 5, nPlanes: Int = 8): DataFrame = {
-    val spark = emb.sparkSession
+  /**
+   * Bucketed ANN with multi-probe: cosine top-k searching the query's own
+   * bucket plus (for probeRadius ≥ 1) every bucket at Hamming distance 1 —
+   * candidate set per query ≈ (1+nPlanes)/2^nPlanes of the corpus.
+   *
+   * Quality contract (measured in AnnRecallSpec): sign-LSH retrieves
+   * NEAR-DUPLICATE neighbors (cosine ≳ 0.9, the dedup regime — plane
+   * agreement prob ≈ 0.93^8) with ≥ 0.9 recall at radius 1. It is NOT a
+   * general top-k engine on near-orthogonal data (neighbor cosine ~0.3 →
+   * per-plane agreement ~0.6 → vanishing bucket-collision probability);
+   * use AnnIvf.annIvfTopK for general top-k at scale.
+   */
+  def annLshTopK(emb: DataFrame, k: Int = 5, nPlanes: Int = 8,
+                 probeRadius: Int = 1, seed: Long = 7L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withB = embeddingLshBuckets(emb, nPlanes)
-      .join(emb.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("e")), "vec_id")
-      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
+    val withB = emb.select(col("vec_id"),
+        hyperplane_sig(col("embedding"), nPlanes, seed).as("bucket"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(dot_arr(col("e"), col("e"))))
     // NB: rename the join key on the query side — self-join column refs from
     // the same lineage resolve to one attribute id, silently degenerating the
     // bucket equi-join into a cross join (Spark warns "trivially true
     // equals predicate").
-    val a = withB.select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
-      col("e").as("qe"), col("nrm").as("qn"))
+    val probes =
+      if (probeRadius <= 0) array(col("bucket"))
+      else transform(sequence(lit(0), lit(nPlanes)), i =>
+        when(i === 0, col("bucket"))
+          // 2^(i-1) via pow: exact in double for plane counts ≤ 53
+          .otherwise(col("bucket").bitwiseXOR(pow(lit(2.0), i - 1).cast("long"))))
+    val a = withB.select(col("vec_id").as("q_id"),
+      explode(probes).as("q_bucket"), col("e").as("qe"), col("nrm").as("qn"))
+    // each neighbor lives in exactly one bucket and probe buckets are
+    // distinct, so no per-pair dedup is needed before ranking
     val pairs = a.join(withB, col("q_bucket") === col("bucket") &&
         col("q_id") =!= col("vec_id"))
-      .withColumn("cos", aggregate(zip_with(col("qe"), col("e"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nrm")))
+      .withColumn("cos", dot_arr(col("qe"), col("e")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"), col("rnk"),
