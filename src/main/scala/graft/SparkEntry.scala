@@ -25,6 +25,10 @@ object SparkEntry {
   private val normSql =
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
+  /** Shingle document-frequency cap for the n-gram Jaccard join (applied
+    * identically in Spark and the DuckDB oracle). */
+  private val ShingleDfCap = 64
+
   // ---- memoized dedup pipeline per (session, sf dir) ---------------------
   private val pipeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Pipeline.Result]()
@@ -86,7 +90,12 @@ object SparkEntry {
         .groupBy(md5(normText($"text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
     }),
-    // n-gram Jaccard theta self-join (J3 candidate join, exact small-n path)
+    // n-gram Jaccard theta self-join (J3 candidate join, exact small-n path).
+    // Skew armor: the equi-join is O(Σ df²) over shingle document
+    // frequencies — one stop-phrase shared by every doc degenerates it to
+    // O(n²) — so shingles with df > 64 are excluded from the INTERSECTION
+    // (doc sizes still count all shingles; the oracle applies the identical
+    // cap). Same singleton/cap discipline as the LSH band join.
     "ngram_jaccard_pairs" -> ((s, d) => {
       import s.implicits._
       val toks = t(s, d, "documents")
@@ -98,7 +107,10 @@ object SparkEntry {
                 element_at($"toks", i + 1), element_at($"toks", i + 2)))))
             .otherwise(array().cast("array<string>"))).as("sh"))
       val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = grams.as("a").join(grams.as("b"),
+      val rare = grams.join(
+        grams.groupBy($"sh").agg(count(lit(1)).as("df"))
+          .filter($"df" <= ShingleDfCap).select($"sh"), "sh")
+      val inter = rare.as("a").join(rare.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
@@ -314,14 +326,18 @@ object SparkEntry {
       t(s, d, "orders").groupBy($"o_custkey")
         .agg(round(topkMean($"o_totalprice"), 4).as("top3_mean"))
     }),
-    // mutual top-3 NN over the n-gram jaccard graph (W3 mutual-NN mode)
+    // mutual top-3 NN over the n-gram jaccard graph (W3 mutual-NN mode).
+    // The jaccard-pair DAG (a shingle-explode self-join) feeds this query
+    // 4x (two union branches, then the topk self-join doubles everything
+    // above it) — persist both levels so the expensive join runs ONCE.
     "mutual_nn" -> ((s, d) => {
       import s.implicits._
-      val pairs = queries("ngram_jaccard_pairs")(s, d)
+      val pairs = queries("ngram_jaccard_pairs")(s, d).persist()
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"), $"jaccard")
         .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"), $"jaccard"))
       val w = Window.partitionBy($"src").orderBy($"jaccard".desc, $"dst")
       val topk = edges.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+        .persist()
       topk.as("x").join(topk.as("y"),
           col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
         .filter(col("x.src") < col("x.dst"))
@@ -359,9 +375,12 @@ object SparkEntry {
               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
             FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i)),
           sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+          r AS (
+            SELECT g.* FROM g
+            JOIN (SELECT sh FROM g GROUP BY sh HAVING count(*) <= 64) h USING (sh)),
           i AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            FROM r a JOIN r b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
           SELECT doc_a, doc_b,
             round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
@@ -521,9 +540,12 @@ object SparkEntry {
               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
             FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i)),
           sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+          r AS (
+            SELECT g.* FROM g
+            JOIN (SELECT sh FROM g GROUP BY sh HAVING count(*) <= 64) h USING (sh)),
           i AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            FROM r a JOIN r b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2),
           p AS (
             SELECT doc_a, doc_b,

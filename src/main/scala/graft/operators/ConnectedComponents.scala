@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.ClusterRow
 
@@ -28,8 +28,20 @@ object ConnectedComponents {
     * union-find on the driver — the same adaptive dispatch-by-input-size the
     * reference uses between all-pairs and batched modes
     * (ai_...AUTO.py:467-530, :3766-3783). Above it, the distributed
-    * min-label loop runs (the only option at 10^12-turn scale). */
-  val DriverLocalMaxEdges: Long = 2000000L
+    * min-label loop runs (the only option at 10^12-turn scale).
+    * Sized in BYTES on the driver: 500k edges × ~40 B/pair ≈ 20 MB
+    * collected — safe on any driver; the old 2M-edge bound collected
+    * 100+ MB of strings. */
+  val DriverLocalMaxEdges: Long = 500000L
+
+  /** Non-blocking-ish observation read: bounded wait for the metrics row
+    * surfaced by the checkpoint action (listener callback is async). */
+  private def readChanged(o: Observation): Option[Long] =
+    try {
+      val row = scala.concurrent.Await.result(
+        o.future, scala.concurrent.duration.Duration(5, "s"))
+      Option(row.getAs[Any]("chg")).map(_.asInstanceOf[Long]).orElse(Some(0L))
+    } catch { case _: java.util.concurrent.TimeoutException => None }
 
   /** edges: DataFrame with (conv_a, conv_b). Returns (conv_id, cluster_id, cluster_size). */
   def cluster(edges: DataFrame, maxIters: Int = 25,
@@ -63,19 +75,31 @@ object ConnectedComponents {
         .groupBy($"src").agg(min($"nbr_label").as("nbr_label"))
       val propagated = labels
         .join(viaNbr.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select($"id", least($"label", coalesce($"nbr_label", $"label")).as("label"))
+        .select($"id", $"label".as("old"),
+          least($"label", coalesce($"nbr_label", $"label")).as("label"))
       // pointer jumping (path compression): label(v) ← label(label(v)).
       // Neighbor-min alone needs diameter iterations; with the jump the
       // loop converges in O(log n) even on chains.
-      val next = propagated.as("n")
+      val jumped = propagated.as("n")
         .join(propagated.select($"id".as("label"), $"label".as("label2")),
           Seq("label"), "left")
-        .select($"id", least($"label", coalesce($"label2", $"label")).as("label"))
+        .select($"id", $"old",
+          least($"label", coalesce($"label2", $"label")).as("label"))
+      // convergence signal rides the SAME checkpoint action via observe —
+      // the old label is carried through the iteration, so no second join
+      // + count job per iteration (that per-iteration driver barrier was
+      // measured serial residue in the 2→8 scaling budget)
+      val obs = Observation()
+      val next = jumped
+        .observe(obs, max(when($"label" =!= $"old", 1L).otherwise(0L)).as("chg"))
+        .select($"id", $"label")
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter($"label" =!= $"old").limit(1).count()
+      val changed = readChanged(obs).getOrElse(
+        // fallback if the checkpoint action did not surface the metric:
+        // a cheap limit-1 probe over the now-materialized checkpoint blocks
+        jumped.filter($"label" =!= $"old").limit(1).count())
       labels = next
-      converged = changed == 0
+      converged = changed == 0L
       iter += 1
     }
 

@@ -99,14 +99,19 @@ object Pipeline {
     import org.apache.spark.sql.Observation
 
     if (turns.storageLevel == org.apache.spark.storage.StorageLevel.NONE) turns.persist()
-    val (hash, nTurns) = fingerprintAndCount(turns)
 
     def cnt = count(lit(1)).as("n")
     val oSig = Observation(); val oCand = Observation()
     val oVer = Observation(); val oTier = Observation()
-    val oBuckets = Observation()
+    val oBuckets = Observation(); val oIn = Observation()
 
-    val sigs = Signatures.compute(Reassembly.assemble(turns), cfg)
+    // input fingerprint + count ride the pipeline's one materializing action
+    // via observe — no separate full-scan job before the pipeline starts
+    // (that pre-job was pure serial time in the Amdahl budget)
+    val turnsObs = turns.observe(oIn,
+      bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("s"),
+      count(lit(1)).as("n"))
+    val sigs = Signatures.compute(Reassembly.assemble(turnsObs), cfg)
       .observe(oSig, cnt).persist()
     val cands = LshJoin.candidates(sigs, cfg, Some(oBuckets))
       .observe(oCand, cnt).persist()
@@ -123,6 +128,8 @@ object Pipeline {
     val totalMs = (System.nanoTime() - t0) / 1000000L
     val ts = java.time.Instant.now.toString
     def n(o: Observation) = o.get("n").asInstanceOf[Long]
+    val hash = f"${oIn.get("s").asInstanceOf[Long]}%016x_${n(oIn)}"
+    val nTurns = n(oIn)
     val counts = Seq(
       ("signatures", nTurns, n(oSig)), ("candidates", n(oSig), n(oCand)),
       ("verified", n(oCand), n(oVer)), ("tiered", n(oVer), n(oTier)))
