@@ -16,8 +16,10 @@ import graft.sources.ConversationGen
  */
 object SparkEntry {
 
+  /** Table read through the IO seam: plain dirs → parquet (testdata layout);
+    * an "iceberg:catalog.ns" spec routes to the Iceberg catalog provider. */
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.TableIO.forSpec(dir).read(spark, name)
 
   // ---- shared text normalization (F5/X7): identical in Spark + DuckDB ----
   private def normText(c: Column): Column =

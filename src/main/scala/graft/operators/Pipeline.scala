@@ -56,27 +56,28 @@ object Pipeline {
       case _ => Map.empty
     }
 
-  private def stagePath(dir: String, cfg: DedupConfig, hash: String, stage: String) =
-    s"$dir/${cfg.cacheVersion}/$hash/$stage"
+  /** Checkpoint store = any TableProvider (parquet dirs in the sandbox;
+    * an Iceberg catalog on a real cluster — stage tables then live as
+    * catalog tables keyed by the same (cacheVersion, inputHash) names). */
+  private def checkpointIO(dirOpt: Option[String]): Option[graft.sources.TableProvider] =
+    dirOpt.map(dir => new graft.sources.ParquetDirProvider(dir, ""))
 
-  private def hasCheckpoint(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def stageTable(cfg: DedupConfig, hash: String, stage: String) =
+    s"${cfg.cacheVersion}/$hash/$stage"
 
   /** Run (or resume) one stage: load checkpoint if present, else compute and
     * persist. Returns the stage Dataset plus whether it was a cache hit. */
   private def stage[T: org.apache.spark.sql.Encoder](
-      spark: SparkSession, dirOpt: Option[String], cfg: DedupConfig,
+      spark: SparkSession, io: Option[graft.sources.TableProvider], cfg: DedupConfig,
       hash: String, name: String)(compute: => Dataset[T]): (Dataset[T], Boolean) = {
-    dirOpt match {
-      case Some(dir) =>
-        val path = stagePath(dir, cfg, hash, name)
-        if (hasCheckpoint(spark, path)) {
-          (spark.read.parquet(path).as[T], true)
+    io match {
+      case Some(p) =>
+        val tbl = stageTable(cfg, hash, name)
+        if (p.exists(spark, tbl)) {
+          (p.read(spark, tbl).as[T], true)
         } else {
-          compute.write.mode(SaveMode.Overwrite).parquet(path)
-          (spark.read.parquet(path).as[T], false)
+          p.write(compute.toDF(), tbl)
+          (p.read(spark, tbl).as[T], false)
         }
       case None => (compute.persist(), false) // share work across downstream actions
     }
@@ -147,11 +148,31 @@ object Pipeline {
     Result(hash, sigs, cands, verified, tiered, clusters, metrics)
   }
 
+  /**
+   * Table-level entry point over the IO seam: read the transcript table via
+   * any TableProvider (Iceberg catalog on a real cluster, parquet dir in
+   * the sandbox) and prefer the provider's O(1) snapshot fingerprint for
+   * checkpoint keying — an Iceberg commit changes the snapshot id, so
+   * resume invalidation needs NO content scan (reference analog: the
+   * (path, mtime, size) MD5, similarity_engine.py:40-62).
+   */
+  def runOnTable(spark: SparkSession, io: graft.sources.TableProvider,
+                 table: String, cfg: DedupConfig = DedupConfig.balanced,
+                 checkpointDir: Option[String] = None,
+                 runId: String = "run"): Result = {
+    import spark.implicits._
+    val turns = io.read(spark, table).as[Turn]
+    run(turns, cfg, checkpointDir, runId,
+      hashOverride = io.snapshotFingerprint(spark, table))
+  }
+
   def run(turns: Dataset[Turn], cfg: DedupConfig = DedupConfig.balanced,
           checkpointDir: Option[String] = None,
-          runId: String = "run"): Result = {
+          runId: String = "run",
+          hashOverride: Option[String] = None): Result = {
     val spark = turns.sparkSession
     import spark.implicits._
+    val io = checkpointIO(checkpointDir)
     val metrics = scala.collection.mutable.ArrayBuffer[StageMetric]()
 
     // Count AFTER stage() so the action materializes the persisted/
@@ -170,15 +191,18 @@ object Pipeline {
     // input is consumed by fingerprint, count, and reassembly — cache it
     // (no-op if the caller already persisted the same plan)
     if (turns.storageLevel == org.apache.spark.storage.StorageLevel.NONE) turns.persist()
-    val (hash, nTurns) = fingerprintAndCount(turns)
+    val (hash, nTurns) = hashOverride match {
+      case Some(h) => (h, turns.count()) // snapshot-id keying: no hash scan
+      case None => fingerprintAndCount(turns)
+    }
 
-    val (sigs, sigsHit) = stage(spark, checkpointDir, cfg, hash, "sigs") {
+    val (sigs, sigsHit) = stage(spark, io, cfg, hash, "sigs") {
       Signatures.compute(Reassembly.assemble(turns), cfg)
     }
     val nDocs = timedCount("signatures", nTurns, sigs, sigsHit)
 
     val oBuckets = org.apache.spark.sql.Observation()
-    val (cands, candsHit) = stage(spark, checkpointDir, cfg, hash, "candidates") {
+    val (cands, candsHit) = stage(spark, io, cfg, hash, "candidates") {
       LshJoin.candidates(sigs, cfg, Some(oBuckets))
     }
     val nCands = timedCount("candidates", nDocs, cands, candsHit)
@@ -192,12 +216,12 @@ object Pipeline {
         bl("total_buckets"), bl("salted_buckets"), -1L, ts)
     }
 
-    val (verified, verHit) = stage(spark, checkpointDir, cfg, hash, "verified") {
+    val (verified, verHit) = stage(spark, io, cfg, hash, "verified") {
       Verification.verify(cands, sigs, cfg)
     }
     val nVer = timedCount("verified", nCands, verified, verHit)
 
-    val (tiered, tierHit) = stage(spark, checkpointDir, cfg, hash, "tiered") {
+    val (tiered, tierHit) = stage(spark, io, cfg, hash, "tiered") {
       TierGate(verified, cfg, Some(IntraDup.convProfile(turns)))
     }
     timedCount("tiered", nVer, tiered, tierHit)
@@ -205,15 +229,16 @@ object Pipeline {
     val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
       .select($"conv_a", $"conv_b")
     val nEdges = dupEdges.count()
-    val (clusters, ccHit) = stage(spark, checkpointDir, cfg, hash, "clusters") {
+    val (clusters, ccHit) = stage(spark, io, cfg, hash, "clusters") {
       ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters)
     }
     timedCount("clusters", nEdges, clusters, ccHit)
 
-    checkpointDir.foreach { dir =>
-      val mdf = spark.createDataset(metrics.toSeq)
-      mdf.coalesce(1).write.mode(SaveMode.Overwrite)
-        .json(stagePath(dir, cfg, hash, s"run_metrics_$runId"))
+    io.foreach { p =>
+      // run lineage next to the stage checkpoints (S5/A4, north_rule
+      // per-snapshot lineage) — same provider, same namespace
+      p.write(spark.createDataset(metrics.toSeq).coalesce(1).toDF(),
+        stageTable(cfg, hash, s"run_metrics_$runId"))
     }
 
     Result(hash, sigs, cands, verified, tiered, clusters, metrics.toSeq)
