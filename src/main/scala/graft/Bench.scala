@@ -55,6 +55,11 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "8m"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+      // signature/dimension tables up to ~64 MB broadcast instead of
+      // shuffling the (much larger) pair table through a sort-merge join —
+      // sized to fit executor memory; on a cluster this is per-executor RAM
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))

@@ -346,6 +346,42 @@ object SparkEntry {
         .select(col("x.src").as("doc_a"), col("x.dst").as("doc_b"),
           col("x.jaccard").as("jaccard"))
     }),
+    // A7 validation metrics as a first-class query: per transform category,
+    // planted-pair detection counts against the ground-truth manifest
+    // (reference: ValidationRunner, validation_experiment.py:245-285)
+    "validation_metrics" -> ((s, d) => {
+      import s.implicits._
+      val gt = ConversationGen.gtDataset(s, specFor(d))
+        .select($"conv_a", $"conv_b", $"transform_type", $"should_detect")
+      val det = pipelineFor(s, d).tiered.toDF()
+        .filter(col("tier") === "A" || col("tier") === "B")
+        .select($"conv_a", $"conv_b")
+      val sym = det.unionByName(
+        det.select($"conv_b".as("conv_a"), $"conv_a".as("conv_b")))
+        .withColumn("hit", lit(1)).dropDuplicates("conv_a", "conv_b")
+      gt.join(sym, Seq("conv_a", "conv_b"), "left")
+        .groupBy($"transform_type", $"should_detect")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce($"hit", lit(0))).as("n_detected"))
+        .withColumn("detection_rate", round($"n_detected" / $"n_pairs", 4))
+    }),
+    // X14 windowed median/MAD outliers (selective-brightness analog,
+    // ai_...AUTO.py:2226-2342): per-user robust z via median + MAD
+    "q_mad_outliers" -> ((s, d) => {
+      import s.implicits._
+      val e = t(s, d, "events")
+      val med = e.groupBy($"user_id".as("u1"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(med, e("user_id") === $"u1")
+        .withColumn("adev", abs($"value" - $"med"))
+      val mad = dev.groupBy($"user_id".as("u2"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(mad, dev("user_id") === $"u2")
+        .filter($"mad" > 1e-9)
+        .withColumn("robust_z", $"adev" / (lit(1.4826) * $"mad"))
+        .filter($"robust_z" > 3.5)
+        .select($"event_id", $"user_id", round($"robust_z", 4).as("robust_z"))
+    }),
     // sessionization via lag window (W1/W5 sequential-ordering analog)
     "q_sessionize" -> ((s, d) => {
       import s.implicits._
@@ -568,6 +604,18 @@ object SparkEntry {
           SELECT x.src AS doc_a, x.dst AS doc_b, x.jaccard AS jaccard
           FROM k x JOIN k y ON x.src = y.dst AND x.dst = y.src
           WHERE x.rnk <= 3 AND y.rnk <= 3 AND x.src < x.dst""",
+    "q_mad_outliers" ->
+      """WITH m AS (
+           SELECT user_id AS u1, median(value) AS med FROM events GROUP BY 1),
+         d AS (
+           SELECT event_id, user_id, abs(value - med) AS adev
+           FROM events JOIN m ON user_id = u1),
+         s AS (
+           SELECT user_id AS u2, median(adev) AS mad FROM d GROUP BY 1)
+         SELECT event_id, user_id,
+           round(adev / (1.4826 * mad), 4) AS robust_z
+         FROM d JOIN s ON user_id = u2
+         WHERE mad > 1e-9 AND adev / (1.4826 * mad) > 3.5""",
     "q_sessionize" ->
       """WITH l AS (
            SELECT user_id, ts,

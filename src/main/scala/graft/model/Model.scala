@@ -117,6 +117,10 @@ case class DedupConfig(
   simThreshold: Double = 0.25,   // candidate keep threshold on est-Jaccard (F1);
                                  //   ≥6σ below the weakest true-dup J (0.42)
   simhashMaxDist: Int = 3,       // PHASH_MAX_DIST=3 parity (ai_...AUTO.py:95)
+  minBandHits: Int = 2,          // LSH-only pairs need ≥ this many distinct
+                                 //   band collisions (bundle/bridge exempt):
+                                 //   kills the one-hit sub-threshold
+                                 //   background before the signature join
   bandBucketCap: Int = 256,      // sub-bucket size: over-cap buckets are
                                  //   SALTED into cap-sized sub-buckets (never
                                  //   dropped) — worst-case pairs per bucket

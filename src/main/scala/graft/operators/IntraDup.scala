@@ -17,7 +17,11 @@ import graft.model.{ConvDoc, Turn}
  */
 object IntraDup {
 
-  /** Per conversation: repeated-shingle stats (advisory evidence). */
+  /** Per conversation: repeated-shingle stats (advisory evidence).
+    * clone_coverage is the TRUE interval union of repeated spans — token
+    * positions covered by any shingle occurring more than once, merged as
+    * intervals (A6 analog: the reference's pixel-set union of clone
+    * regions → area %, ai_...AUTO.py:2200-2214). */
   def repeatedSpans(docs: Dataset[ConvDoc], k: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -25,27 +29,49 @@ object IntraDup {
       it.map { d =>
         val toks = TextKernel.tokens(TextKernel.normalize(d.doc_text))
         val counts = new scala.collection.mutable.HashMap[Long, Int]
-        if (toks.length >= k) {
+        val n = toks.length
+        var hs: Array[Long] = null
+        if (n >= k) {
           val th = toks.map(t => graft.functions.Hashing.xxh64(t, TextKernel.TokenSeed))
+          hs = new Array[Long](n - k + 1)
           var i = 0
-          while (i + k <= toks.length) {
+          while (i + k <= n) {
             var h = TextKernel.ShingleSeed
             var j = i
             while (j < i + k) { h = graft.functions.Hashing.xxh64Long(th(j), h); j += 1 }
+            hs(i) = h
             counts.update(h, counts.getOrElse(h, 0) + 1)
             i += 1
           }
         }
+        // interval union of repeated spans [i, i+k) over token positions
+        var covered = 0L
+        if (hs != null) {
+          var curStart = -1; var curEnd = -1
+          var i = 0
+          while (i < hs.length) {
+            if (counts(hs(i)) > 1) {
+              if (i >= curEnd) { // disjoint: flush previous run
+                if (curEnd > curStart) covered += curEnd - curStart
+                curStart = i
+              }
+              curEnd = i + k
+            }
+            i += 1
+          }
+          if (curEnd > curStart) covered += curEnd - curStart
+        }
         val repeated = counts.valuesIterator.filter(_ > 1).toArray
-        (d.conv_id, toks.length,
+        (d.conv_id, n,
           repeated.length,                            // distinct repeated shingles
           if (repeated.isEmpty) 0 else repeated.max,  // max multiplicity
-          if (toks.length >= k)
-            repeated.map(_ - 1).sum.toDouble / math.max(1, toks.length - k + 1)
-          else 0.0)                                   // repeat mass fraction
+          if (n >= k)
+            repeated.map(_ - 1).sum.toDouble / math.max(1, n - k + 1)
+          else 0.0,                                   // repeat mass fraction
+          if (n == 0) 0.0 else covered.toDouble / n)  // interval-union coverage
       }
     }.toDF("conv_id", "n_tokens", "n_repeated_shingles", "max_multiplicity",
-           "repeat_fraction")
+           "repeat_fraction", "clone_coverage")
   }
 
   /** Content-type routing per conversation (modality analog). */

@@ -60,44 +60,60 @@ object LshJoin {
    * the bridge chain: per over-cap bucket, the min conv_id of each
    * sub-bucket is linked to the next sub-bucket's representative.
    */
-  private def saltedBucketPairs(items: DataFrame, keys: Seq[String], cap: Int,
-                                bandIdCol: Column, source: String,
+  // source codes kept as 1 byte through the 10⁶-row pair union + dedup agg
+  // (strings there were measurable shuffle weight): bridge = base + 2
+  private final val SrcLsh = 0
+  private final val SrcBundle = 1
+
+  /**
+   * One pass of bucket sizing + salting + within-bucket pairing + bridges
+   * for BOTH sources at once. `items` must have (conv_id, bkey:long,
+   * band_id, src) where bkey is the fully mixed bucket key — band index
+   * folded into LSH band keys, variant index mixed into bundle keys — so
+   * the two key spaces never collide (whp) and one 8-byte grouping key
+   * replaces per-source composite keys and per-source shuffle machinery
+   * (running the sizing/join/self-join/bridge chain once, not twice, cut
+   * measurable per-stage scheduling overhead from the candidate stage).
+   */
+  private def saltedBucketPairs(items: DataFrame, cap: Int,
                                 obs: Option[Observation]): DataFrame = {
-    val kcols = keys.map(col)
-    val sized = items.groupBy(kcols: _*).agg(count(lit(1)).as("bsz"))
+    // buckets are source-homogeneous (disjoint key spaces): min(src) IS the
+    // bucket's source; observation reports the LSH band-bucket funnel only
+    val sized = items.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("bsz"), min(col("src")).as("bsrc"))
     val sizedObs = obs.map(o => sized.observe(o,
-        count(lit(1)).as("total_buckets"),
-        sum(when(col("bsz") >= 2, 1L).otherwise(0L)).as("paired_buckets"),
-        sum(when(col("bsz") > cap, 1L).otherwise(0L)).as("salted_buckets")))
+        sum(when(col("bsrc") === SrcLsh, 1L).otherwise(0L)).as("total_buckets"),
+        sum(when(col("bsrc") === SrcLsh && col("bsz") >= 2, 1L).otherwise(0L)).as("paired_buckets"),
+        sum(when(col("bsrc") === SrcLsh && col("bsz") > cap, 1L).otherwise(0L)).as("salted_buckets")))
       .getOrElse(sized)
     val eligible = sizedObs.filter(col("bsz") >= 2)
       .withColumn("n_salts", ceil(col("bsz").cast("double") / cap).cast("int"))
-      .select(kcols :+ col("n_salts"): _*)
-    val b2 = items.join(eligible, keys)
+      .select(col("bkey"), col("n_salts"))
+    val b2 = items.join(eligible, "bkey")
       .withColumn("salt",
         when(col("n_salts") <= 1, lit(0))
           .otherwise(pmod(xxhash64(col("conv_id")), col("n_salts")).cast("int")))
 
-    val joinKeys = keys :+ "salt"
-    val joinCond = joinKeys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-      col("x.conv_id") < col("y.conv_id")
-    val inBucket = b2.as("x").join(b2.as("y"), joinCond)
+    val inBucket = b2.as("x").join(b2.as("y"),
+        col("x.bkey") === col("y.bkey") && col("x.salt") === col("y.salt") &&
+        col("x.conv_id") < col("y.conv_id"))
       .select(col("x.conv_id").as("conv_a"), col("y.conv_id").as("conv_b"),
-        bandIdCol.as("band_id"), lit(source).as("source"))
+        col("x.band_id").as("band_id"), col("x.src").as("src"))
 
     // bridge chain: consecutive sub-bucket representatives of over-cap
     // buckets (n_salts-1 extra pairs per bucket — O(bsz/cap), negligible)
     val reps = b2.filter(col("n_salts") > 1)
-      .groupBy(kcols :+ col("salt"): _*).agg(min(col("conv_id")).as("conv_id"))
+      .groupBy(col("bkey"), col("salt"))
+      .agg(min(col("conv_id")).as("conv_id"), min(col("band_id")).as("band_id"),
+        min(col("src")).as("src"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(kcols: _*).orderBy(col("salt"))))
+        Window.partitionBy(col("bkey")).orderBy(col("salt"))))
     val bridges = reps.as("x").join(reps.as("y"),
-        keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
-        col("y.rk") === col("x.rk") + 1)
+        col("x.bkey") === col("y.bkey") && col("y.rk") === col("x.rk") + 1)
       .select(
         least(col("x.conv_id"), col("y.conv_id")).as("conv_a"),
         greatest(col("x.conv_id"), col("y.conv_id")).as("conv_b"),
-        bandIdCol.as("band_id"), lit(source).as("source"))
+        col("x.band_id").as("band_id"), (col("x.src") + lit(2)).as("src"))
       .filter(col("conv_a") =!= col("conv_b"))
 
     inBucket.unionByName(bridges)
@@ -116,23 +132,44 @@ object LshJoin {
     val spark = sigs.sparkSession
     import spark.implicits._
 
-    val lshPairs = saltedBucketPairs(
-      bandTable(sigs), Seq("band_id", "band_key"), cfg.bandBucketCap,
-      col("x.band_id"), "lsh", bucketObs)
-
-    // J4 analog: exact collisions of any normalization-variant fingerprint —
-    // same singleton-drop + salt discipline (an uncapped variant self-join
+    // band keys already mix the band index (TextKernel.bandKeys), so the
+    // 8-byte key alone identifies the bucket; band_id rides along for
+    // min-band provenance only. The J4 bundle path (exact collisions of any
+    // normalization-variant fingerprint — an uncapped variant self-join
     // would be m²/2 on template families, the most likely blowup at 100 TB)
-    val variants = sigs.select(col("conv_id"),
-      posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash")))
-    val bundlePairs = saltedBucketPairs(
-      variants, Seq("v_id", "v_hash"), cfg.bandBucketCap,
-      lit(-1), "bundle", None)
+    // shares the SAME sized/salted bucket pass via a disjoint key space.
+    val bandItems = bandTable(sigs).select(
+      col("conv_id"), col("band_key").as("bkey"), col("band_id"),
+      lit(SrcLsh).as("src"))
+    val variantItems = sigs.select(col("conv_id"),
+        posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash")))
+      .select(col("conv_id"), xxhash64(col("v_id"), col("v_hash")).as("bkey"),
+        lit(-1).as("band_id"), lit(SrcBundle).as("src"))
+    val allPairs = saltedBucketPairs(
+      bandItems.unionByName(variantItems), cfg.bandBucketCap, bucketObs)
 
-    val uniquePairs = lshPairs.unionByName(bundlePairs)
+    // Pair dedup + the MIN-BAND-HITS prefilter. With b=64/r=2 banding the
+    // weakest detectable transform (J ≈ 0.42) collides in ~11 bands, while
+    // sub-threshold background pairs (J ≈ 0.1) expect 0.64 — requiring ≥2
+    // distinct band collisions for LSH-only pairs removes the ~65% one-hit
+    // majority BEFORE the signature join ships two 1 KB minhash arrays per
+    // pair (measured: 2.13M → 0.74M pairs at 40k docs; the est join was
+    // the candidate stage's dominant shuffle). Bundle hits (exact-variant
+    // evidence) and salted-bucket bridges (connectivity) are exempt.
+    val uniquePairs = allPairs
       .groupBy($"conv_a", $"conv_b")
       .agg(min($"band_id").as("band_id"),
-        array_join(collect_set($"source"), "+").as("source"))
+        sum(when($"src" === SrcLsh, 1L).otherwise(0L)).as("lsh_hits"),
+        max(when($"src" === SrcBundle || $"src" === SrcBundle + 2, 1).otherwise(0)).as("has_bundle"),
+        max(when($"src" >= 2, 1).otherwise(0)).as("has_bridge"))
+      .filter($"has_bundle" === 1 || $"has_bridge" === 1 ||
+        $"lsh_hits" >= cfg.minBandHits)
+      // deterministic provenance string (collect_set ordering is not)
+      .withColumn("source", concat_ws("+",
+        when($"lsh_hits" > 0, "lsh"),
+        when($"has_bundle" === 1, "bundle"),
+        when($"has_bridge" === 1, "bridge")))
+      .drop("lsh_hits", "has_bundle", "has_bridge")
 
     // signatures join in only now — per unique pair, not per band row
     val mh = sigs.select($"conv_id", $"minhash")
@@ -164,6 +201,30 @@ object LshJoin {
       .withColumn("rk_b", row_number().over(wB))
       .filter($"rk_a" <= k || $"rk_b" <= k)
       .drop("rk_a", "rk_b")
+      .as[CandidatePair]
+  }
+
+  /**
+   * F2 same/adjacent-group suppression (configurable, default OFF exactly
+   * like the reference — /root/reference/ai_pdf_panel_duplicate_check_AUTO
+   * .py:133-137, implementation :3301-3332): drop candidate pairs whose
+   * endpoints' group ordinals are within `gap` of each other (gap 0 = only
+   * same-group suppressed; gap 1 also suppresses adjacent groups — the
+   * reference's same_page/adjacent_pages knobs). `groups` maps
+   * (conv_id, group_id:long) — e.g. source shard, session bucket, page.
+   * Ungrouped conversations are never suppressed.
+   */
+  def suppressGroups(pairs: Dataset[CandidatePair], groups: DataFrame,
+                     gap: Int = 0): Dataset[CandidatePair] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.toDF()
+      .join(groups.select(col("conv_id").as("conv_a"), col("group_id").as("grp_a")),
+        Seq("conv_a"), "left")
+      .join(groups.select(col("conv_id").as("conv_b"), col("group_id").as("grp_b")),
+        Seq("conv_b"), "left")
+      .filter($"grp_a".isNull || $"grp_b".isNull || abs($"grp_a" - $"grp_b") > gap)
+      .select($"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"band_id", $"source")
       .as[CandidatePair]
   }
 

@@ -112,18 +112,30 @@ object Pipeline {
     val turnsObs = turns.observe(oIn,
       bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("s"),
       count(lit(1)).as("n"))
+    // Stage boundaries are EAGER localCheckpoints, not bare persists: the
+    // pipeline is self-join-heavy (bucket x/y, payload _a/_b, z-score edge
+    // union, CC symmetric union), and every self-reference makes Catalyst's
+    // relation-dedup walk the upstream tree again — measured ~8-9 s of pure
+    // driver-side planning PER ACTION on the un-truncated DAG vs 1.1 s
+    // after truncation. Checkpointing cuts the logical plan to a LogicalRDD
+    // at each stage, so every downstream action (CC's internal jobs, the
+    // flag_dedup_* battery queries, Verify writes) plans a small tree.
+    // Funnel observations still ride the checkpoint materialization (the
+    // checkpoint action surfaces CollectMetrics — relied on by CC's
+    // convergence check too). The barrier per stage is one scheduled job of
+    // work that is needed exactly once — nothing recomputes.
+    val t0 = System.nanoTime()
     val sigs = Signatures.compute(Reassembly.assemble(turnsObs), cfg)
-      .observe(oSig, cnt).persist()
+      .observe(oSig, cnt).localCheckpoint(true)
     val cands = LshJoin.candidates(sigs, cfg, Some(oBuckets))
-      .observe(oCand, cnt).persist()
-    val verified = Verification.verify(cands, sigs, cfg).observe(oVer, cnt).persist()
+      .observe(oCand, cnt).localCheckpoint(true)
+    val verified = Verification.verify(cands, sigs, cfg)
+      .observe(oVer, cnt).localCheckpoint(true)
     // T2 routing: content-type profile keys the per-class tier thresholds
     val tiered = TierGate(verified, cfg, Some(IntraDup.convProfile(turns)))
-      .observe(oTier, cnt).persist()
+      .observe(oTier, cnt).localCheckpoint(true)
     val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
       .select($"conv_a", $"conv_b")
-    val t0 = System.nanoTime()
-    // cluster() acts internally — the single materialization of the DAG
     val clusters = ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters)
     clusters.count()
     val totalMs = (System.nanoTime() - t0) / 1000000L

@@ -1,0 +1,56 @@
+package graft
+
+import graft.model._
+import graft.operators.{Adaptive, LshJoin}
+import graft.sources.ConversationGen
+
+/** Size-adaptive dispatch (X6/auto_configure analog) + F2 group
+  * suppression knob. */
+class AdaptiveSpec extends SparkSpec {
+
+  test("configure tightens selectivity and caps monotonically with corpus size") {
+    val tiers = Seq(1000L, 100000L, 10000000L, 1000000000L).map(Adaptive.configure(_))
+    // LSH threshold (1/b)^(1/r) is non-decreasing with corpus size
+    val thr = tiers.map(c => math.pow(1.0 / c.bands, 1.0 / c.rows))
+    assert(thr == thr.sorted, s"thresholds $thr")
+    // skew caps are non-increasing
+    val caps = tiers.map(_.bandBucketCap)
+    assert(caps == caps.sorted.reverse, s"caps $caps")
+    val ppd = tiers.map(_.maxPairsPerDoc)
+    assert(ppd == ppd.sorted.reverse, s"pairs/doc $ppd")
+    // bands*rows never exceeds the signature length
+    tiers.foreach(c => assert(c.bands * c.rows <= c.numPerms))
+  }
+
+  test("runAuto dispatches on corpus size and meets the smoke recall floor") {
+    import spark.implicits._
+    val turns = ConversationGen.corpus(spark, ConversationGen.smoke)
+    val (cfg, result) = Adaptive.runAuto(turns)
+    assert(cfg.bandBucketCap == 512, "smoke corpus should pick the small-corpus tier")
+    val gt = ConversationGen.gtPairs(ConversationGen.smoke).filter(_.should_detect)
+    val detected = result.tiered
+      .filter(t => t.tier == "A" || t.tier == "B")
+      .select($"conv_a", $"conv_b").as[(String, String)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val recall = gt.count(g => detected.contains((g.conv_a, g.conv_b))).toDouble / gt.size
+    assert(recall >= 0.90, s"auto-config recall=$recall")
+  }
+
+  test("suppressGroups: same/adjacent-group pairs drop, distant/ungrouped survive") {
+    import spark.implicits._
+    val pairs = Seq(
+      CandidatePair("a|b", "a", "b", 0.9, 0, "lsh"),  // same group
+      CandidatePair("a|c", "a", "c", 0.9, 0, "lsh"),  // adjacent group
+      CandidatePair("a|d", "a", "d", 0.9, 0, "lsh"),  // distant group
+      CandidatePair("a|e", "a", "e", 0.9, 0, "lsh")   // e ungrouped
+    ).toDS()
+    val groups = Seq(("a", 10L), ("b", 10L), ("c", 11L), ("d", 50L))
+      .toDF("conv_id", "group_id")
+    val same = LshJoin.suppressGroups(pairs, groups, gap = 0)
+      .collect().map(_.pair_key).toSet
+    assert(same == Set("a|c", "a|d", "a|e"))
+    val adj = LshJoin.suppressGroups(pairs, groups, gap = 1)
+      .collect().map(_.pair_key).toSet
+    assert(adj == Set("a|d", "a|e"))
+  }
+}
