@@ -43,7 +43,9 @@ case class CandidatePair(
   band_id: Int,
   source: String)
 
-/** Verified pair with full evidence columns (FIXTURES.md §3). */
+/** Verified pair with full evidence columns (FIXTURES.md §3).
+  * n_verified_blocks = per-turn-block sketches whose Jaccard clears the
+  * block-verify floor (T4 tile-evidence analog, tile_detection.py:508-573). */
 case class VerifiedPair(
   pair_key: String,
   conv_a: String,
@@ -52,6 +54,7 @@ case class VerifiedPair(
   jaccard: Double,
   jaccard_patch_topk: Double,
   jaccard_patch_min: Double,
+  n_verified_blocks: Int,
   simhash_dist: Int,
   bundle_dist: Int,
   variant_matched: Boolean,
@@ -69,6 +72,7 @@ case class TieredPair(
   minhash_est: Double,
   jaccard: Double,
   jaccard_patch_topk: Double,
+  n_verified_blocks: Int,
   simhash_dist: Int,
   bundle_dist: Int,
   max_span_len: Int,
@@ -113,6 +117,8 @@ case class DedupConfig(
   numBlocks: Int = 9,            // patch grid 3x3 analog (similarity_engine.py:712)
   blockSketchK: Int = 256,
   patchTopK: Int = 4,            // SSIM top-k patch mean k (similarity_engine.py:763-771)
+  blockVerifyJaccard: Double = 0.5, // per-block "verified tile" floor (T4,
+                                 //   tile_detection.py:508-573 analog)
   headChars: Int = 8000,         // capped text for span evidence
   simThreshold: Double = 0.25,   // candidate keep threshold on est-Jaccard (F1);
                                  //   ≥6σ below the weakest true-dup J (0.42)

@@ -66,7 +66,10 @@ object Pipeline {
     s"${cfg.cacheVersion}/$hash/$stage"
 
   /** Run (or resume) one stage: load checkpoint if present, else compute and
-    * persist. Returns the stage Dataset plus whether it was a cache hit. */
+    * persist. Returns the stage Dataset plus whether it was a cache hit.
+    * On a fresh compute, PER-PARTITION lineage (file → row count) is written
+    * next to the stage table (north_rule per-partition/per-snapshot lineage;
+    * with an Iceberg provider these become per-snapshot manifest analogs). */
   private def stage[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, io: Option[graft.sources.TableProvider], cfg: DedupConfig,
       hash: String, name: String)(compute: => Dataset[T]): (Dataset[T], Boolean) = {
@@ -77,6 +80,13 @@ object Pipeline {
           (p.read(spark, tbl).as[T], true)
         } else {
           p.write(compute.toDF(), tbl)
+          val back = p.read(spark, tbl)
+          val lineage = back
+            .groupBy(input_file_name().as("partition_file"))
+            .agg(count(lit(1)).as("rows"))
+            .withColumn("stage", lit(name))
+            .withColumn("input_hash", lit(hash))
+          p.write(lineage, stageTable(cfg, hash, s"lineage_$name"))
           (p.read(spark, tbl).as[T], false)
         }
       case None => (compute.persist(), false) // share work across downstream actions
@@ -125,27 +135,37 @@ object Pipeline {
     // convergence check too). The barrier per stage is one scheduled job of
     // work that is needed exactly once — nothing recomputes.
     val t0 = System.nanoTime()
+    var tMark = t0
+    def lap(): Long = {
+      val now = System.nanoTime(); val ms = (now - tMark) / 1000000L; tMark = now; ms
+    }
     val sigs = Signatures.compute(Reassembly.assemble(turnsObs), cfg)
       .observe(oSig, cnt).localCheckpoint(true)
+    val msSig = lap()
     val cands = LshJoin.candidates(sigs, cfg, Some(oBuckets))
       .observe(oCand, cnt).localCheckpoint(true)
+    val msCand = lap()
     val verified = Verification.verify(cands, sigs, cfg)
       .observe(oVer, cnt).localCheckpoint(true)
+    val msVer = lap()
     // T2 routing: content-type profile keys the per-class tier thresholds
     val tiered = TierGate(verified, cfg, Some(IntraDup.convProfile(turns)))
       .observe(oTier, cnt).localCheckpoint(true)
+    val msTier = lap()
     val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
       .select($"conv_a", $"conv_b")
     val clusters = ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters)
     clusters.count()
+    val msCc = lap()
     val totalMs = (System.nanoTime() - t0) / 1000000L
     val ts = java.time.Instant.now.toString
     def n(o: Observation) = o.get("n").asInstanceOf[Long]
     val hash = f"${oIn.get("s").asInstanceOf[Long]}%016x_${n(oIn)}"
     val nTurns = n(oIn)
     val counts = Seq(
-      ("signatures", nTurns, n(oSig)), ("candidates", n(oSig), n(oCand)),
-      ("verified", n(oCand), n(oVer)), ("tiered", n(oVer), n(oTier)))
+      ("signatures", nTurns, n(oSig), msSig), ("candidates", n(oSig), n(oCand), msCand),
+      ("verified", n(oCand), n(oVer), msVer), ("tiered", n(oVer), n(oTier), msTier),
+      ("clusters", n(oTier), -1L, msCc))
     // LSH bucket funnel (A4 analog of the reference's logged O(n²)→O(Σb²)
     // reduction): total→paired buckets, plus how many were salted — rides
     // the same action via the observation LshJoin attached to the bucket agg
@@ -154,8 +174,8 @@ object Pipeline {
     val bucketMetrics = if (buck.isEmpty) Nil else Seq(
       StageMetric(runId, "lsh_buckets_paired", bl("total_buckets"), bl("paired_buckets"), -1L, ts),
       StageMetric(runId, "lsh_buckets_salted", bl("total_buckets"), bl("salted_buckets"), -1L, ts))
-    val metrics = counts.map { case (s, in, out) =>
-      StageMetric(runId, s, in, out, -1L, ts)
+    val metrics = counts.map { case (s, in, out, ms) =>
+      StageMetric(runId, s, in, out, ms, ts)
     } ++ bucketMetrics :+ StageMetric(runId, "pipeline_total", nTurns, n(oTier), totalMs, ts)
     Result(hash, sigs, cands, verified, tiered, clusters, metrics)
   }

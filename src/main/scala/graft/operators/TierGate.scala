@@ -123,11 +123,21 @@ object TierGate {
     val deepPass = col("max_span_len") >= cfg.spanMinLen / 2 &&
                    col("jaccard_patch_topk") >= relaxJ
 
+    // T4 tile evidence (tile_detection.py:508-573 analog): ≥2 verified
+    // sub-blocks promote to Tier A (veto-immune, like the reference's tile
+    // promotion); template-heavy classes (tool_heavy ≙ confocal) are
+    // DEMOTED off the relaxed path when no block verified — local evidence
+    // required exactly where global similarity is least trustworthy.
+    val tilePath = col("n_verified_blocks") >= 2 && col("jaccard") >= bandBJ
+    val tileDemote = col("pair_type") === "tool_heavy" &&
+                     col("n_verified_blocks") < 1
+
     val tierPath =
       when(exactPath, "exact_fingerprint")
         .when(strictPath, "strict_jaccard")
         .when(spanPath, "substring_span")
-        .when(relaxedPath && !fpVeto, "relaxed_sum")
+        .when(tilePath, "tile_promoted")
+        .when(relaxedPath && !fpVeto && !tileDemote, "relaxed_sum")
         .when(relaxedPath && deepPass, "deep_verified")
         .otherwise(lit(null).cast("string"))
 
@@ -147,9 +157,9 @@ object TierGate {
       .withColumn("tier_path", coalesce(col("tier_path"),
         when(col("tier") === "B", "band_b").otherwise("none")))
       .select($"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"jaccard",
-        $"jaccard_patch_topk", $"simhash_dist", $"bundle_dist",
-        $"max_span_len", $"span_frac", $"clip_z_analog", $"pair_type",
-        $"tier", $"tier_path", $"source")
+        $"jaccard_patch_topk", $"n_verified_blocks", $"simhash_dist",
+        $"bundle_dist", $"max_span_len", $"span_frac", $"clip_z_analog",
+        $"pair_type", $"tier", $"tier_path", $"source")
       .as[TieredPair]
   }
 

@@ -55,6 +55,7 @@ object Verification {
     val strictJ = cfg.tierAJaccard
     val cutoff = cfg.simhashMaxDist
     val useSa = cfg.spanEngine == "sa"
+    val blockFloor = cfg.blockVerifyJaccard
 
     joined.select(
         $"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"source",
@@ -72,7 +73,13 @@ object Verification {
         val nBlk = math.min(blkA.length, blkB.length)
         val blockJ = new Array[Double](nBlk)
         var i = 0
-        while (i < nBlk) { blockJ(i) = TextKernel.jaccardSorted(blkA(i), blkB(i)); i += 1 }
+        var verifiedBlocks = 0
+        while (i < nBlk) {
+          val bj = TextKernel.jaccardSorted(blkA(i), blkB(i))
+          blockJ(i) = bj
+          if (bj >= blockFloor) verifiedBlocks += 1 // T4 "verified tile"
+          i += 1
+        }
         java.util.Arrays.sort(blockJ)
         var s = 0.0; var c = 0; var j = nBlk - 1
         while (j >= 0 && c < topK) { s += blockJ(j); c += 1; j -= 1 }
@@ -91,7 +98,8 @@ object Verification {
           else if (useSa) SuffixSpans.lcsViaSuffixArray(headA, headB)
           else TextKernel.longestCommonSubstring(headA, headB)
         val minLen = math.max(1, math.min(headA.length, headB.length))
-        VerifiedPair(pk, a, b, est, jac, patchTopK, patchMin, shDist, bunDist,
+        VerifiedPair(pk, a, b, est, jac, patchTopK, patchMin, verifiedBlocks,
+          shDist, bunDist,
           variant_matched = bunDist <= cutoff,
           max_span_len = span, span_frac = span.toDouble / minLen, source = src)
       }

@@ -2,22 +2,24 @@ package graft.tools
 import graft.sources.ConversationGen
 import graft.model.DedupConfig
 import graft.operators.Pipeline
-/** Dev probe: median-of-N pipelined wall clock. */
+/** Dev probe: per-stage wall at a given parallelism (args: cpus [nBase]). */
 object PipeMedian {
   def main(args: Array[String]): Unit = {
-    val spark = graft.Bench.session("32")
+    val cpus = if (args.nonEmpty) args(0) else "32"
+    val nBase = if (args.length > 1) args(1).toLong else 40000L
+    val spark = graft.Bench.session(cpus)
     val corpus = ConversationGen.corpus(spark,
-      ConversationGen.CorpusSpec(40000, 60, 400)).persist()
+      ConversationGen.CorpusSpec(nBase, 60, 400)).persist()
     val n = corpus.count()
-    val secs = (0 to 3).map { i =>
+    (0 to 2).foreach { i =>
       val t0 = System.nanoTime()
       val r = Pipeline.runPipelined(corpus, DedupConfig.balanced, runId = s"m$i")
       r.clusters.count()
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"[med] run$i sec=$s%.1f")
-      s
-    }.drop(1).sorted // drop warmup
-    println(f"[med] median=${secs(secs.length / 2)}%.1f turns_per_sec=${n / secs(secs.length / 2)}%.0f n=$n")
+      println(f"[med] cpus=$cpus run$i sec=$s%.1f " +
+        r.metrics.filter(_.duration_ms >= 0)
+          .map(m => f"${m.stage}=${m.duration_ms / 1000.0}%.1f").mkString(" "))
+    }
     spark.stop()
   }
 }

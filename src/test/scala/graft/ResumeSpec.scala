@@ -40,6 +40,14 @@ class ResumeSpec extends SparkSpec {
     // absent from r2's stage metrics (cache hit skips the timed compute)
     assert(!r2.metrics.exists(_.stage == "candidates"),
       s"expected candidates cache hit; metrics=${r2.metrics.map(_.stage)}")
+
+    // per-partition lineage written next to each fresh stage table
+    // (north_rule): files + row counts sum to the stage row count
+    val lin = spark.read.parquet(s"$base/lineage_candidates")
+    import org.apache.spark.sql.functions._
+    val total = lin.agg(sum($"rows")).head().getLong(0)
+    assert(total == r1.candidates.count(), s"lineage rows=$total")
+    assert(lin.select($"partition_file").distinct().count() == lin.count())
   }
 
   test("different cacheVersion or input invalidates the checkpoint") {

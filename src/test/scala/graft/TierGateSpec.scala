@@ -15,13 +15,14 @@ import graft.operators.TierGate
 class TierGateSpec extends SparkSpec {
 
   private val cfg = DedupConfig.balanced
-  // (pair_key, a, b, est, jac, patch_topk, simhash_dist, bundle_dist,
-  //  max_span_len, span_frac, z, pair_type, source)
+  // (pair_key, a, b, est, jac, patch_topk, n_verified_blocks, simhash_dist,
+  //  bundle_dist, max_span_len, span_frac, z, pair_type, source)
   private type R = (String, String, String, Double, Double, Double, Int, Int,
-    Int, Double, Double, String, String)
+    Int, Int, Double, Double, String, String)
   private val cols = Seq("pair_key", "conv_a", "conv_b", "minhash_est",
-    "jaccard", "jaccard_patch_topk", "simhash_dist", "bundle_dist",
-    "max_span_len", "span_frac", "clip_z_analog", "pair_type", "source")
+    "jaccard", "jaccard_patch_topk", "n_verified_blocks", "simhash_dist",
+    "bundle_dist", "max_span_len", "span_frac", "clip_z_analog", "pair_type",
+    "source")
 
   private def gate(rows: R*): Map[String, (String, String)] = {
     import spark.implicits._
@@ -33,11 +34,11 @@ class TierGateSpec extends SparkSpec {
     // template-heavy TRUE dup: relaxed-range jaccard, boilerplate-hub z —
     // vetoed — but the lazily-computed expensive evidence (span 120 ≥
     // spanMinLen/2, patch_topk ≥ relax) agrees → promoted
-    val rescued = ("p1", "a1", "b1", 0.80, 0.80, 0.80, 20, 30, 120, 0.10, 0.2, "default", "lsh")
+    val rescued = ("p1", "a1", "b1", 0.80, 0.80, 0.80, 0, 20, 30, 120, 0.10, 0.2, "default", "lsh")
     // same cheap evidence, expensive evidence DISAGREES → veto holds, Tier B
-    val vetoed = ("p2", "a2", "b2", 0.80, 0.80, 0.40, 20, 30, 10, 0.01, 0.2, "default", "lsh")
+    val vetoed = ("p2", "a2", "b2", 0.80, 0.80, 0.40, 0, 20, 30, 10, 0.01, 0.2, "default", "lsh")
     // same evidence in a normal (high-z) neighborhood → plain relaxed path
-    val normal = ("p3", "a3", "b3", 0.80, 0.80, 0.40, 20, 30, 10, 0.01, 5.0, "default", "lsh")
+    val normal = ("p3", "a3", "b3", 0.80, 0.80, 0.40, 0, 20, 30, 10, 0.01, 5.0, "default", "lsh")
     val out = gate(rescued, vetoed, normal)
     assert(out("p1") == ("A", "deep_verified"), s"p1=${out("p1")}")
     assert(out("p2") == ("B", "band_b"), s"p2=${out("p2")}")
@@ -46,11 +47,11 @@ class TierGateSpec extends SparkSpec {
 
   test("T2: identical evidence gates differently per routed content type") {
     // jac 0.80 passes the base relax gate (0.78) but not tool_heavy's (0.85)
-    val asDefault = ("q1", "a1", "b1", 0.80, 0.80, 0.40, 20, 30, 10, 0.01, 5.0, "dialog", "lsh")
-    val asToolHeavy = ("q2", "a2", "b2", 0.80, 0.80, 0.40, 20, 30, 10, 0.01, 5.0, "tool_heavy", "lsh")
+    val asDefault = ("q1", "a1", "b1", 0.80, 0.80, 0.40, 0, 20, 30, 10, 0.01, 5.0, "dialog", "lsh")
+    val asToolHeavy = ("q2", "a2", "b2", 0.80, 0.80, 0.40, 0, 20, 30, 10, 0.01, 5.0, "tool_heavy", "lsh")
     // longform widens the relax band: 0.76 ≥ 0.75 passes there, not at base
-    val asLongform = ("q3", "a3", "b3", 0.80, 0.76, 0.40, 20, 30, 10, 0.01, 5.0, "longform", "lsh")
-    val asCross = ("q4", "a4", "b4", 0.80, 0.76, 0.40, 20, 30, 10, 0.01, 5.0, "cross", "lsh")
+    val asLongform = ("q3", "a3", "b3", 0.80, 0.76, 0.40, 0, 20, 30, 10, 0.01, 5.0, "longform", "lsh")
+    val asCross = ("q4", "a4", "b4", 0.80, 0.76, 0.40, 0, 20, 30, 10, 0.01, 5.0, "cross", "lsh")
     val out = gate(asDefault, asToolHeavy, asLongform, asCross)
     assert(out("q1") == ("A", "relaxed_sum"), s"q1=${out("q1")}")
     assert(out("q2") == ("B", "band_b"), s"q2=${out("q2")}")
@@ -59,9 +60,26 @@ class TierGateSpec extends SparkSpec {
   }
 
   test("T2: exact-fingerprint path is an unconditional override per type") {
-    val exactTool = ("e1", "a1", "b1", 0.10, 0.10, 0.10, 2, 1, 0, 0.0, 0.0, "tool_heavy", "bundle")
+    val exactTool = ("e1", "a1", "b1", 0.10, 0.10, 0.10, 0, 2, 1, 0, 0.0, 0.0, "tool_heavy", "bundle")
     val out = gate(exactTool)
     assert(out("e1") == ("A", "exact_fingerprint"))
+  }
+
+  test("T4: >=2 verified blocks promote; tool_heavy relaxed without blocks demotes") {
+    // promotion: weak global jaccard but two verified sub-blocks -> Tier A
+    val promoted = ("t1", "a1", "b1", 0.40, 0.40, 0.55, 2, 20, 30, 10, 0.01, 5.0, "default", "lsh")
+    // same evidence, one verified block -> no promotion, Tier B via jaccard
+    val oneBlock = ("t2", "a2", "b2", 0.40, 0.40, 0.55, 1, 20, 30, 10, 0.01, 5.0, "default", "lsh")
+    // tool_heavy relaxed pair (jac 0.86 >= its 0.85 relax floor) with zero
+    // verified blocks -> demoted off the relaxed path (confocal analog)
+    val demoted = ("t3", "a3", "b3", 0.80, 0.86, 0.40, 0, 20, 30, 10, 0.01, 5.0, "tool_heavy", "lsh")
+    // identical but one block verified -> relaxed path survives
+    val kept = ("t4", "a4", "b4", 0.80, 0.86, 0.40, 1, 20, 30, 10, 0.01, 5.0, "tool_heavy", "lsh")
+    val out = gate(promoted, oneBlock, demoted, kept)
+    assert(out("t1") == ("A", "tile_promoted"), s"t1=${out("t1")}")
+    assert(out("t2") == ("B", "band_b"), s"t2=${out("t2")}")
+    assert(out("t3") == ("B", "band_b"), s"t3=${out("t3")}")
+    assert(out("t4") == ("A", "relaxed_sum"), s"t4=${out("t4")}")
   }
 
   test("withPairType routes same-class pairs and cross-class fallback") {
