@@ -60,6 +60,9 @@ case class VerifiedPair(
   variant_matched: Boolean,
   max_span_len: Int,
   span_frac: Double,
+  span_offset: Int,              // alignment delta posA−posB of the longest
+                                 //   span (X10 ECC-translation analog;
+                                 //   0 when no span was computed)
   source: String)
 
 /** Tiered pair after gating (T1/T2 analog). pair_type is the routed

@@ -146,8 +146,18 @@ object SuffixSpans {
    * to one of the two owners). The exact-SA counterpart of
    * TextKernel.longestCommonSubstring's probabilistic rolling-hash search.
    */
-  def lcsViaSuffixArray(a: String, b: String): Int = {
-    if (a == null || b == null || a.isEmpty || b.isEmpty) return 0
+  def lcsViaSuffixArray(a: String, b: String): Int = lcsWithPositions(a, b)._1
+
+  /**
+   * Like lcsViaSuffixArray but also returns the span's start offsets
+   * (posA, posB) in each document — the text analog of the reference's ECC
+   * alignment estimate (X10, ai_...AUTO.py:1276-1307): for transcripts the
+   * transform family is translation (truncation/insertion shifts), so the
+   * single offset delta posA−posB IS the alignment. Ties resolve to the
+   * smallest (posA, posB).
+   */
+  def lcsWithPositions(a: String, b: String): (Int, Int, Int) = {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) return (0, 0, 0)
     val la = a.length
     val n = la + b.length + 2
     val s = new Array[Int](n)
@@ -159,17 +169,26 @@ object SuffixSpans {
     s(n - 1) = -2
     val sa = suffixArray(s)
     val lcp = kasaiLcp(s, sa)
-    var best = 0
+    var best = 0; var bestA = 0; var bestB = 0
     i = 0
     while (i < lcp.length) {
       val x = sa(i); val y = sa(i + 1)
       // owners: A-suffixes start before la; sentinel positions excluded
       val ax = x < la; val bx = x > la && x < n - 1
-      val ay = y < la; val by = y > la && y < n - 1
-      if (((ax && by) || (bx && ay)) && lcp(i) > best) best = lcp(i)
+      if ((ax || bx) && lcp(i) > 0) {
+        val ay = y < la; val by = y > la && y < n - 1
+        if ((ax && by) || (bx && ay)) {
+          val pa = if (ax) x else y
+          val pb = (if (ax) y else x) - la - 1
+          if (lcp(i) > best ||
+              (lcp(i) == best && (pa < bestA || (pa == bestA && pb < bestB)))) {
+            best = lcp(i); bestA = pa; bestB = pb
+          }
+        }
+      }
       i += 1
     }
-    best
+    (best, bestA, bestB)
   }
 
   /** Cross-doc shared spans within one group of docs: (docA, docB, spanLen)

@@ -92,16 +92,20 @@ object Verification {
         val needSpan = jac < strictJ && bunDist > cutoff && est >= 0.15
         // X15 span evidence: exact generalized-suffix-array LCS by default
         // (the north_rule's per-partition suffix-array stage, running where
-        // the two texts are already co-located); rolling-hash LCS fallback
-        val span =
-          if (!needSpan) 0
-          else if (useSa) SuffixSpans.lcsViaSuffixArray(headA, headB)
-          else TextKernel.longestCommonSubstring(headA, headB)
+        // the two texts are already co-located); rolling-hash LCS fallback.
+        // The SA path also yields the span's alignment offset (X10 analog).
+        val (span, offset) =
+          if (!needSpan) (0, 0)
+          else if (useSa) {
+            val (l, pa, pb) = SuffixSpans.lcsWithPositions(headA, headB)
+            (l, pa - pb)
+          } else (TextKernel.longestCommonSubstring(headA, headB), 0)
         val minLen = math.max(1, math.min(headA.length, headB.length))
         VerifiedPair(pk, a, b, est, jac, patchTopK, patchMin, verifiedBlocks,
           shDist, bunDist,
           variant_matched = bunDist <= cutoff,
-          max_span_len = span, span_frac = span.toDouble / minLen, source = src)
+          max_span_len = span, span_frac = span.toDouble / minLen,
+          span_offset = offset, source = src)
       }
   }
 }

@@ -59,6 +59,17 @@ class SuffixSpansSpec extends SparkSpec {
     }
   }
 
+  test("lcsWithPositions: span offsets locate the shared substring (X10 analog)") {
+    val shared = "zqxjvkwpfyghmbtrn dlscu eoaizqxjvkwpfygh"
+    val a = "0123456789" + shared + "tailtail"
+    val b = "abc" + shared + "xyzxyzxyz"
+    val (len, pa, pb) = SuffixSpans.lcsWithPositions(a, b)
+    assert(len == shared.length)
+    assert(a.substring(pa, pa + len) == b.substring(pb, pb + len))
+    assert(pa == 10 && pb == 3)
+    assert(pa - pb == 7) // the alignment delta (translation estimate)
+  }
+
   test("packed suffix array matches suffixes order on a long mixed input") {
     val rng = new graft.sources.ConversationGen.Rng(0xBEEF)
     val s = Array.tabulate(3000)(i =>
