@@ -75,13 +75,12 @@ object Bench {
 
     // headline: end-to-end dedup pipeline throughput in turns/sec over a
     // MATERIALIZED input (persist + count before the clock — production
-    // input is an Iceberg table, not a generator). Seeds the memo cache so
-    // the flag_dedup_* queries below reuse this run.
-    val spec = SparkEntry.specFor(sfDir)
-    val corpus = sources.ConversationGen.corpus(spark, spec).persist()
+    // input is an Iceberg table, not a generator). Uses the same memoized
+    // corpus the battery queries share.
+    val corpus = SparkEntry.corpusFor(spark, sfDir)
     val nTurns = corpus.count()
     val t0 = System.nanoTime()
-    val result = SparkEntry.seedPipeline(spark, sfDir, corpus)
+    val result = SparkEntry.pipelineFor(spark, sfDir)
     result.clusters.count()
     val pipeSec = (System.nanoTime() - t0) / 1e9
     val turnsPerSec = nTurns / pipeSec

@@ -55,15 +55,6 @@ object SparkEntry {
       Pipeline.runPipelined(corpusFor(spark, sfDir), DedupConfig.balanced)
     })
 
-  /** Bench hook: run the pipeline on an already-materialized corpus (so the
-    * timed window measures dedup, not synthetic-input generation) and memo
-    * it for the flag_dedup_* queries. */
-  def seedPipeline(spark: SparkSession, sfDir: String,
-                   turns: org.apache.spark.sql.Dataset[graft.model.Turn]): Pipeline.Result =
-    pipeCache.computeIfAbsent(System.identityHashCode(spark) + "|" + sfDir, _ => {
-      Pipeline.runPipelined(turns, DedupConfig.balanced)
-    })
-
   /** Flagship: full dedup pipeline (reassembly → MinHash/LSH → verify →
     * tiers) on the smoke corpus; rows > 0 because planted dups are found. */
   def entry(spark: SparkSession): DataFrame =
