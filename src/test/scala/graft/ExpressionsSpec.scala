@@ -102,6 +102,25 @@ class ExpressionsSpec extends SparkSpec {
       .forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
+  test("multimodal frame sampling + resize: fixed shapes, every-kth frames") {
+    import spark.implicits._
+    val long = (0 until 300).map(i => ('a' + i % 26).toChar).mkString
+    val docs = Seq((0L, long), (1L, "tiny")).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(Multimodal.asMedia(docs),
+      frameBytes = 64, everyK = 4).collect()
+    // 300 bytes → 5 frames (0..4), every 4th kept → frames 0 and 4
+    val f0 = frames.filter(_.doc_id == 0L).map(_.frame_idx).sorted
+    assert(f0.toSeq == Seq(0, 4), s"frames=${f0.toSeq}")
+    assert(frames.find(f => f.doc_id == 0L && f.frame_idx == 4).get.n_bytes == 44)
+    assert(frames.filter(_.doc_id == 1L).map(_.frame_idx).toSeq == Seq(0))
+    // resize: constant output dim regardless of payload size; mean-byte range
+    val rs = Multimodal.resize(Multimodal.asMedia(docs), dim = 16).collect()
+    rs.foreach { r =>
+      val v = r.getSeq[Double](2)
+      assert(v.length == 16 && v.forall(x => x >= 0.0 && x <= 255.0))
+    }
+  }
+
   test("embedding LSH buckets: deterministic, bounded, same-vector same-bucket") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>
