@@ -94,4 +94,3 @@ object CandProfile {
     spark.stop()
   }
 }
-// scratch: appended probe runs via CandProfile2
