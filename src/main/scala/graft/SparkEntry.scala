@@ -353,11 +353,17 @@ object SparkEntry {
       val w = Window.partitionBy($"src").orderBy($"jaccard".desc, $"dst")
       val topk = edges.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
         .persist()
-      topk.as("x").join(topk.as("y"),
+      val mutual = topk.as("x").join(topk.as("y"),
           col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
         .filter(col("x.src") < col("x.dst"))
         .select(col("x.src").as("doc_a"), col("x.dst").as("doc_b"),
           col("x.jaccard").as("jaccard"))
+        // materialize the tiny result, then release both intermediate caches
+        // (cache hygiene: repeated invocations in a long-lived session must
+        // not accumulate MEMORY_ONLY blocks)
+        .localCheckpoint(true)
+      topk.unpersist(); pairs.unpersist()
+      mutual
     }),
     // A7 validation metrics as a first-class query: per transform category,
     // planted-pair detection counts against the ground-truth manifest

@@ -34,12 +34,18 @@ object Adaptive {
       base.copy(bands = 64, rows = 2, bandBucketCap = 512, maxPairsPerDoc = 64)
     else if (nDocs < 1000000L)
       base.copy(bands = 64, rows = 2, bandBucketCap = 256, maxPairsPerDoc = 48)
+    // Coarse tiers (rows ≥ 4) must take minBandHits down to 1: the default
+    // of 2 is calibrated for b=64/r=2 where the weakest transform collides
+    // in ~11 bands — at 32×4 a just-above-threshold pair (J ≈ 0.5) expects
+    // only ~2 band collisions, so requiring ≥2 DISTINCT hits would cut
+    // near-threshold recall from ~0.87 to ~0.60 (recall gate for this tier
+    // in AdaptiveSpec).
     else if (nDocs < 100000000L)
       base.copy(bands = 32, rows = 4, bandBucketCap = 192, maxPairsPerDoc = 32,
-        simThreshold = math.max(base.simThreshold, 0.35))
+        simThreshold = math.max(base.simThreshold, 0.35), minBandHits = 1)
     else
       base.copy(bands = 16, rows = 8, bandBucketCap = 128, maxPairsPerDoc = 24,
-        simThreshold = math.max(base.simThreshold, 0.60))
+        simThreshold = math.max(base.simThreshold, 0.60), minBandHits = 1)
   }
 
   /**

@@ -129,7 +129,12 @@ object AnnIvf {
             var d = 0.0; var i = 0
             val cc = c(ci)
             while (i < v.length) { d += v(i) * cc(i); i += 1 }
-            dots(ci) = d; ci += 1
+            // NaN guard: a single invalid embedding (NaN/Inf component) makes
+            // every > comparison false — map to -Inf so probe selection still
+            // returns a valid (arbitrary but deterministic) centroid instead
+            // of failing the whole job on taken(-1)
+            dots(ci) = if (java.lang.Double.isNaN(d)) Double.NegativeInfinity else d
+            ci += 1
           }
           // top-np centroid ids by dot, ties by index (selection by repeated max)
           val probes = new Array[Int](np)
@@ -139,7 +144,9 @@ object AnnIvf {
             var best = -1; var bestDot = Double.NegativeInfinity
             ci = 0
             while (ci < kc) {
-              if (!taken(ci) && dots(ci) > bestDot) { bestDot = dots(ci); best = ci }
+              if (!taken(ci) && (best < 0 || dots(ci) > bestDot)) {
+                bestDot = dots(ci); best = ci
+              }
               ci += 1
             }
             taken(best) = true; probes(p) = best; p += 1
@@ -157,7 +164,13 @@ object AnnIvf {
       // vectors are pre-normalized: cosine = codegen'd dot product
       .withColumn("cos", dot_arr($"qe", $"e"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    pairs.withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
+    val topk = pairs.withColumn("rnk", row_number().over(w)).filter($"rnk" <= k)
       .select($"q_id", $"vec_id".as("n_id"), $"rnk", round($"cos", 6).as("cosine"))
+      // materialize the (small, n·k-row) result so the assignment cache can
+      // be released — a long-lived session must not accumulate cached blocks
+      // per invocation
+      .localCheckpoint(true)
+    assigned.unpersist()
+    topk
   }
 }

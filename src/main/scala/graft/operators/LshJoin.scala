@@ -178,8 +178,14 @@ object LshJoin {
       .join(mh.select($"conv_id".as("conv_b"), $"minhash".as("mb")), "conv_b")
       .withColumn("minhash_est",
         graft.functions.GraftFunctions.minhash_est(col("ma"), col("mb")))
-      // F1 threshold predicate; bundle hits always survive (exact-dup path)
-      .filter($"minhash_est" >= cfg.simThreshold || $"source".contains("bundle"))
+      // F1 threshold predicate; bundle hits always survive (exact-dup path),
+      // and so do BRIDGES — a bridge is the only connectivity between the
+      // salted sub-buckets of an over-cap family (salt is conv_id-keyed, so
+      // cross-sub-bucket pairs never form in any band); dropping a low-
+      // estimate bridge would split a near-dup mega-family into one cluster
+      // per sub-bucket — precisely the 100-TB case salting exists for
+      .filter($"minhash_est" >= cfg.simThreshold ||
+        $"source".contains("bundle") || $"source".contains("bridge"))
       .select(
         concat($"conv_a", lit("|"), $"conv_b").as("pair_key"),
         $"conv_a", $"conv_b", $"minhash_est", $"band_id".cast("int").as("band_id"),
@@ -189,11 +195,15 @@ object LshJoin {
     // TILE_MAX_TILES_PER_PANEL per-item shape): keep a pair if either
     // endpoint ranks it top-k by (bundle-first, estimate desc, pair_key).
     // Bundle pairs rank 1.0 ≥ any estimate, so exact-dup evidence is never
-    // evicted by a band flood. Two hash-partitioned window passes — no
-    // global sort, no driver funnel, plan survives 100× corpus growth.
+    // evicted by a band flood; bridges rank 1.0 too — they are O(bsz/cap)
+    // rows per over-cap bucket (negligible volume) and carry the family's
+    // connectivity, so a busy representative must never evict one. Two
+    // hash-partitioned window passes — no global sort, no driver funnel,
+    // plan survives 100× corpus growth.
     val k = cfg.maxPairsPerDoc
     val rankScore = greatest($"minhash_est",
-      when($"source".contains("bundle"), lit(1.0)).otherwise(lit(0.0)))
+      when($"source".contains("bundle") || $"source".contains("bridge"),
+        lit(1.0)).otherwise(lit(0.0)))
     val wA = Window.partitionBy($"conv_a").orderBy(rankScore.desc, $"pair_key")
     val wB = Window.partitionBy($"conv_b").orderBy(rankScore.desc, $"pair_key")
     scored

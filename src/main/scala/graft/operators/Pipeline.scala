@@ -47,14 +47,26 @@ object Pipeline {
 
   def inputFingerprint(turns: Dataset[Turn]): String = fingerprintAndCount(turns)._1
 
-  /** Non-blocking observation read (getOrEmpty is private[sql]): empty map
-    * when the observed plan never executed (e.g. checkpoint-resume hit). */
-  private def bucketRow(o: org.apache.spark.sql.Observation): Map[String, Any] =
-    o.future.value.flatMap(_.toOption) match {
+  /** Observation read. Metrics are delivered by an ASYNC listener after the
+    * action completes, so on a fresh compute (`fresh = true`) wait briefly
+    * for the callback — otherwise the bucket funnel would intermittently
+    * come back empty and be silently dropped. The non-blocking path stays
+    * for checkpoint-resume hits, where the observed plan never executed and
+    * the future never completes (getOrEmpty is private[sql]). */
+  private def bucketRow(o: org.apache.spark.sql.Observation,
+                        fresh: Boolean): Map[String, Any] = {
+    val rowOpt =
+      if (fresh)
+        try Some(scala.concurrent.Await.result(
+          o.future, scala.concurrent.duration.Duration(5, "s")))
+        catch { case _: java.util.concurrent.TimeoutException => None }
+      else o.future.value.flatMap(_.toOption)
+    rowOpt match {
       case Some(row) if row.schema != null =>
         row.schema.fieldNames.map(f => f -> row.getAs[Any](f)).toMap
       case _ => Map.empty
     }
+  }
 
   /** Checkpoint store = any TableProvider (parquet dirs in the sandbox;
     * an Iceberg catalog on a real cluster — stage tables then live as
@@ -169,7 +181,7 @@ object Pipeline {
     // LSH bucket funnel (A4 analog of the reference's logged O(n²)→O(Σb²)
     // reduction): total→paired buckets, plus how many were salted — rides
     // the same action via the observation LshJoin attached to the bucket agg
-    val buck = bucketRow(oBuckets)
+    val buck = bucketRow(oBuckets, fresh = true)
     def bl(k: String) = buck.get(k).map(_.asInstanceOf[Long]).getOrElse(-1L)
     val bucketMetrics = if (buck.isEmpty) Nil else Seq(
       StageMetric(runId, "lsh_buckets_paired", bl("total_buckets"), bl("paired_buckets"), -1L, ts),
@@ -238,7 +250,7 @@ object Pipeline {
       LshJoin.candidates(sigs, cfg, Some(oBuckets))
     }
     val nCands = timedCount("candidates", nDocs, cands, candsHit)
-    val buck = bucketRow(oBuckets) // empty on checkpoint hit (plan never ran)
+    val buck = bucketRow(oBuckets, fresh = !candsHit) // empty on checkpoint hit
     if (buck.nonEmpty) {
       def bl(k: String) = buck(k).asInstanceOf[Long]
       val ts = java.time.Instant.now.toString

@@ -36,6 +36,29 @@ class AdaptiveSpec extends SparkSpec {
     assert(recall >= 0.90, s"auto-config recall=$recall")
   }
 
+  test("coarse-tier banding (32×4, minBandHits=1) keeps recall on ≥-threshold transforms") {
+    import spark.implicits._
+    // the <100M-doc tier: 32 bands × 4 rows ⇒ LSH threshold ≈ 0.42. A
+    // just-above-threshold pair (J ≈ 0.5) expects only ~2 band collisions,
+    // so the tier MUST run with minBandHits=1 (ADVICE r02) — with the
+    // 64×2-calibrated default of 2 this gate drops to ~0.60 recall.
+    val cfg = Adaptive.configure(10000000L)
+    assert(cfg.minBandHits == 1, "coarse tiers must not require 2 band hits")
+    val turns = ConversationGen.corpus(spark, ConversationGen.smoke)
+    val result = operators.Pipeline.runPipelined(turns, cfg, runId = "coarse")
+    // subst10 (J ≈ 0.42) sits below this tier's design threshold by intent
+    // (the tier trades weakest-transform recall for join selectivity at
+    // 10⁷–10⁸ docs); every other planted transform has J ≥ 0.6
+    val gt = ConversationGen.gtPairs(ConversationGen.smoke)
+      .filter(g => g.should_detect && g.transform_type != "subst10")
+    val detected = result.tiered
+      .filter(t => t.tier == "A" || t.tier == "B")
+      .select($"conv_a", $"conv_b").as[(String, String)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val recall = gt.count(g => detected.contains((g.conv_a, g.conv_b))).toDouble / gt.size
+    assert(recall >= 0.90, s"coarse-tier recall=$recall over ${gt.size} pairs")
+  }
+
   test("suppressGroups: same/adjacent-group pairs drop, distant/ungrouped survive") {
     import spark.implicits._
     val pairs = Seq(

@@ -75,4 +75,49 @@ class SkewFamilySpec extends SparkSpec {
     val biggest = byCluster.values.map(_.length).max
     assert(biggest == M, s"largest cluster=$biggest, want $M — family split by salting")
   }
+
+  /**
+   * Bridge immunity (VERDICT r02 "What's wrong #1"): bridges are the ONLY
+   * connectivity between salted sub-buckets (salt is conv_id-keyed, so
+   * cross-sub-bucket pairs never form in any band) — they must survive both
+   * the estimate filter and the per-doc cap even when the bridge pair's own
+   * MinHash estimate is LOW. Constructed worst case: one 300-member mega-
+   * bucket whose sub-buckets are internally similar (est 0.5) but mutually
+   * dissimilar (est 0.0 < simThreshold) — without bridge exemptions the
+   * family splits into one cluster per sub-bucket.
+   */
+  test("low-estimate bridges survive the est filter + per-doc cap and keep the family connected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val n = 300
+    val cfg2 = DedupConfig.balanced.copy(bandBucketCap = 64, maxPairsPerDoc = 8,
+      simThreshold = 0.25)
+    val nSalts = math.ceil(n.toDouble / cfg2.bandBucketCap).toInt // 5
+    val ids = (0 until n).map(i => f"s$i%04d")
+    // precompute each doc's salt group exactly as LshJoin assigns it
+    val saltOf = ids.toDF("conv_id")
+      .select(col("conv_id"), pmod(xxhash64(col("conv_id")), lit(nSalts)).cast("int").as("s"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val sigs = spark.createDataset(ids.map { id =>
+      val g = saltOf(id)
+      // minhash: first 64 positions shared within the salt group (est 0.5
+      // in-group), rest unique per doc (est 0.0 cross-group)
+      val mh = Array.tabulate(128)(p =>
+        if (p < 64) 900000L + g * 1000L + p else Hashing.mix64(id.hashCode.toLong * 131 + p))
+      DocSig(id, 1, 100, mh,
+        bands = Array(111L, 222L), // two shared mega-buckets → lsh_hits = 2
+        simhash = 0L, simhash_bundle = Array(Hashing.mix64(id.hashCode.toLong)),
+        sketch = Array.empty, block_sketches = Array.empty, head_text = "")
+    })
+    val cands = LshJoin.candidates(sigs, cfg2)
+    val bridges = cands.filter($"source".contains("bridge")).collect()
+    assert(bridges.nonEmpty, "expected bridge pairs in the mega-bucket")
+    assert(bridges.forall(_.minhash_est < cfg2.simThreshold),
+      "test shape: bridge pairs must sit BELOW the estimate threshold")
+    val comp = ConnectedComponents.cluster(
+      cands.select($"conv_a", $"conv_b").toDF())
+    val sizes = comp.collect().groupBy(_.cluster_id).values.map(_.length)
+    assert(sizes.max == n,
+      s"largest component=${sizes.max}, want $n — bridge dropped by est filter or cap")
+  }
 }
