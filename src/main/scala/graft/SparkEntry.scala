@@ -385,22 +385,15 @@ object SparkEntry {
         .withColumn("detection_rate", round($"n_detected" / $"n_pairs", 4))
     }),
     // X14 windowed median/MAD outliers (selective-brightness analog,
-    // ai_...AUTO.py:2226-2342): per-user robust z via median + MAD
-    "q_mad_outliers" -> ((s, d) => {
-      import s.implicits._
-      val e = t(s, d, "events")
-      val med = e.groupBy($"user_id".as("u1"))
-        .agg(expr("percentile(value, 0.5)").as("med"))
-      val dev = e.join(med, e("user_id") === $"u1")
-        .withColumn("adev", abs($"value" - $"med"))
-      val mad = dev.groupBy($"user_id".as("u2"))
-        .agg(expr("percentile(adev, 0.5)").as("mad"))
-      dev.join(mad, dev("user_id") === $"u2")
-        .filter($"mad" > 1e-9)
-        .withColumn("robust_z", $"adev" / (lit(1.4826) * $"mad"))
-        .filter($"robust_z" > 3.5)
-        .select($"event_id", $"user_id", round($"robust_z", 4).as("robust_z"))
-    }),
+    // ai_...AUTO.py:2226-2342): per-user robust z via median + MAD.
+    // Exact engine (oracle parity; buffers each group in one task) ...
+    "q_mad_outliers" -> ((s, d) =>
+      RobustStats.madOutliers(t(s, d, "events"), exact = true)),
+    // ... and the scale twin: approx_percentile (bounded memory per group —
+    // a hot user with 10⁸ events cannot OOM a task). Same output contract;
+    // small-group equality with the exact engine gated in RobustStatsSpec.
+    "q_mad_outliers_approx" -> ((s, d) =>
+      RobustStats.madOutliers(t(s, d, "events"), exact = false)),
     // sessionization via lag window (W1/W5 sequential-ordering analog)
     "q_sessionize" -> ((s, d) => {
       import s.implicits._
@@ -417,7 +410,44 @@ object SparkEntry {
   )
 
   // =======================================================================
+  /** DuckDB oracle SQL. The `{GRAFT_OUT}` placeholder is replaced by
+    * graft.Verify with the output directory at dump time — queries over the
+    * synthesized transcript corpus (no parquet table exists in the sf dir)
+    * read the corpus dump Verify writes next to the query outputs. */
   def oracleSql: Map[String, String] = Map(
+    "conv_profile" ->
+      """WITH a AS (
+           SELECT conv_id, count(*) AS n_turns,
+             avg(CASE WHEN role = 'tool' THEN 1.0 ELSE 0.0 END) AS tr,
+             avg(CASE WHEN role = 'user' THEN 1.0 ELSE 0.0 END) AS ur,
+             avg(len(text)) AS ac
+           FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')
+           GROUP BY 1),
+         c AS (SELECT *, greatest(tr, ur, 1.0 - tr - ur) AS conf FROM a)
+         SELECT conv_id, n_turns,
+           round(tr, 4) AS tool_ratio, round(ur, 4) AS user_ratio,
+           round(ac, 2) AS avg_turn_chars,
+           CASE WHEN conf < 0.15 THEN 'unknown'
+                WHEN tr >= 0.3 THEN 'tool_heavy'
+                WHEN ur >= 0.45 THEN 'interactive_dialog'
+                WHEN ac > 400 THEN 'longform'
+                ELSE 'dialog' END AS content_type,
+           round(conf, 4) AS confidence
+         FROM c""",
+    "multimodal_resized" ->
+      """WITH b AS (SELECT doc_id, text, len(text) AS n FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           round(list_sum(list_transform(range(0, 16), w ->
+             list_sum(list_transform(
+               range((n * w // 16) + 1,
+                     least(greatest(n * w // 16 + 1, n * (w + 1) // 16), n) + 1),
+               i -> ascii(substr(text, i::INT, 1))))
+             / (least(greatest(n * w // 16 + 1, n * (w + 1) // 16), n)
+                - n * w // 16))), 4) AS resized_sum
+         FROM b""",
     "dedup_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS min_doc
          FROM documents GROUP BY 1""",

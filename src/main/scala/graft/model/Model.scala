@@ -150,6 +150,13 @@ case class DedupConfig(
                                  //   "lcs" = probabilistic rolling-hash
                                  //   binary search (fallback)
   zVeto: Double = 1.5,           // template-lookalike veto (CLIP_Z analog, ai_...AUTO.py:870-885)
+  groupGap: Option[Int] = None,  // F2 same/adjacent-group suppression gap:
+                                 //   None = OFF (reference default,
+                                 //   ai_...AUTO.py:133-137); Some(0) = drop
+                                 //   same-group pairs, Some(1) also drops
+                                 //   adjacent groups — applied by Pipeline
+                                 //   between candidates and verification
+                                 //   when a groups table is supplied
   ccMaxIters: Int = 25,
   cacheVersion: String = "v1",
   // T2: per-content-class threshold overrides keyed on the convProfile

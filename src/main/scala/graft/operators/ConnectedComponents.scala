@@ -43,11 +43,21 @@ object ConnectedComponents {
       Option(row.getAs[Any]("chg")).map(_.asInstanceOf[Long]).orElse(Some(0L))
     } catch { case _: java.util.concurrent.TimeoutException => None }
 
-  /** edges: DataFrame with (conv_a, conv_b). Returns (conv_id, cluster_id, cluster_size). */
+  /** edges: DataFrame with (conv_a, conv_b). Returns (conv_id, cluster_id,
+    * cluster_size). `edgeCountHint`: an UPPER BOUND on the edge count known
+    * by the caller (e.g. from an observation that already rode a checkpoint
+    * action) — when it fits the driver-local budget, the dedup/symmetrize/
+    * checkpoint/count pre-pass (three scheduled jobs of pure serial latency
+    * on small data) is skipped and the raw edges collect straight into
+    * union-find, which needs neither dedup nor symmetry. */
   def cluster(edges: DataFrame, maxIters: Int = 25,
-              driverLocalMaxEdges: Long = DriverLocalMaxEdges): Dataset[ClusterRow] = {
+              driverLocalMaxEdges: Long = DriverLocalMaxEdges,
+              edgeCountHint: Option[Long] = None): Dataset[ClusterRow] = {
     val spark = edges.sparkSession
     import spark.implicits._
+
+    if (edgeCountHint.exists(_ <= driverLocalMaxEdges))
+      return clusterLocal(edges.select(col("conv_a"), col("conv_b")))
 
     val symRaw = edges.select(col("conv_a").as("src"), col("conv_b").as("dst"))
       .unionAll(edges.select(col("conv_b").as("src"), col("conv_a").as("dst")))

@@ -77,22 +77,34 @@ object LshJoin {
    */
   private def saltedBucketPairs(items: DataFrame, cap: Int,
                                 obs: Option[Observation]): DataFrame = {
-    // buckets are source-homogeneous (disjoint key spaces): min(src) IS the
-    // bucket's source; observation reports the LSH band-bucket funnel only
-    val sized = items.groupBy(col("bkey"))
-      .agg(count(lit(1)).as("bsz"), min(col("src")).as("bsrc"))
-    val sizedObs = obs.map(o => sized.observe(o,
-        sum(when(col("bsrc") === SrcLsh, 1L).otherwise(0L)).as("total_buckets"),
-        sum(when(col("bsrc") === SrcLsh && col("bsz") >= 2, 1L).otherwise(0L)).as("paired_buckets"),
-        sum(when(col("bsrc") === SrcLsh && col("bsz") > cap, 1L).otherwise(0L)).as("salted_buckets")))
-      .getOrElse(sized)
-    val eligible = sizedObs.filter(col("bsz") >= 2)
+    // Bucket sizing rides ONE exchange: count + representative-flag window
+    // aggregates over partitionBy(bkey) replace the old groupBy(bkey) agg +
+    // join-back (which cost a second full shuffle of the items AND an extra
+    // sequential stage boundary — measured driver-floor weight in the 2→8
+    // scaling budget). The self-join, rep-extraction, and bridge chain below
+    // all reuse this same hash-partitioning via the partitioning-subset rule
+    // (HashPartitioning(bkey) satisfies clustering on (bkey, salt)), so the
+    // whole bucket phase is one shuffle wide.
+    val wB = Window.partitionBy(col("bkey"))
+    val withSz = items
+      .withColumn("bsz", count(lit(1)).over(wB))
+      // conv_id is unique within a bucket (band keys mix the band index;
+      // variant keys mix v_id), so min(conv_id) flags exactly one rep row
+      .withColumn("rep", min(col("conv_id")).over(wB) === col("conv_id"))
+    // buckets are source-homogeneous (disjoint key spaces); observation
+    // reports the LSH band-bucket funnel only, counted on rep rows
+    val sizedObs = obs.map(o => withSz.observe(o,
+        sum(when(col("src") === SrcLsh && col("rep"), 1L).otherwise(0L)).as("total_buckets"),
+        sum(when(col("src") === SrcLsh && col("rep") && col("bsz") >= 2, 1L).otherwise(0L)).as("paired_buckets"),
+        sum(when(col("src") === SrcLsh && col("rep") && col("bsz") > cap, 1L).otherwise(0L)).as("salted_buckets")))
+      .getOrElse(withSz)
+    val b2 = sizedObs.filter(col("bsz") >= 2)
       .withColumn("n_salts", ceil(col("bsz").cast("double") / cap).cast("int"))
-      .select(col("bkey"), col("n_salts"))
-    val b2 = items.join(eligible, "bkey")
       .withColumn("salt",
         when(col("n_salts") <= 1, lit(0))
           .otherwise(pmod(xxhash64(col("conv_id")), col("n_salts")).cast("int")))
+      .select(col("conv_id"), col("bkey"), col("band_id"), col("src"),
+        col("salt"), col("n_salts"))
 
     val inBucket = b2.as("x").join(b2.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.salt") === col("y.salt") &&
@@ -156,7 +168,16 @@ object LshJoin {
     // pair (measured: 2.13M → 0.74M pairs at 40k docs; the est join was
     // the candidate stage's dominant shuffle). Bundle hits (exact-variant
     // evidence) and salted-bucket bridges (connectivity) are exempt.
+    // Exchange discipline: one explicit hash repartition on conv_a feeds the
+    // pair dedup (HashPartitioning(conv_a) satisfies clustering on
+    // (conv_a, conv_b) — partitioning-subset rule), the conv_a signature
+    // join, and the conv_a cap window WITHOUT re-shuffling the pair table;
+    // the conv_b cap window rides the conv_b signature-join exchange. The
+    // old chain paid five sequential pair-table shuffles here; the driver's
+    // stage-scheduling gaps between them were measured serial residue in
+    // the 2→8 scaling budget.
     val uniquePairs = allPairs
+      .repartition($"conv_a")
       .groupBy($"conv_a", $"conv_b")
       .agg(min($"band_id").as("band_id"),
         sum(when($"src" === SrcLsh, 1L).otherwise(0L)).as("lsh_hits"),
@@ -206,9 +227,11 @@ object LshJoin {
         lit(1.0)).otherwise(lit(0.0)))
     val wA = Window.partitionBy($"conv_a").orderBy(rankScore.desc, $"pair_key")
     val wB = Window.partitionBy($"conv_b").orderBy(rankScore.desc, $"pair_key")
+    // rk_b first: at scale the conv_b signature join leaves the pair table
+    // hash-partitioned on conv_b, so this window is sort-only (no exchange)
     scored
-      .withColumn("rk_a", row_number().over(wA))
       .withColumn("rk_b", row_number().over(wB))
+      .withColumn("rk_a", row_number().over(wA))
       .filter($"rk_a" <= k || $"rk_b" <= k)
       .drop("rk_a", "rk_b")
       .as[CandidatePair]

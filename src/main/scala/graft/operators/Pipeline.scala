@@ -107,16 +107,29 @@ object Pipeline {
 
   /**
    * Pipelined variant for throughput paths (Bench/ScalingBench): ONE
-   * materializing action instead of a per-stage count barrier — funnel
-   * metrics ride the same action via Dataset.observe (zero extra jobs).
-   * The eager `run` keeps per-stage wall times for diagnosis and is the
-   * only mode with checkpoint/resume (stage writes are actions anyway).
-   * Amdahl motivation: at local[2]→local[8] the per-stage driver barriers
-   * were ~40% of wall time, capping scaling efficiency at ~0.47.
+   * materializing action per stage instead of a per-stage count barrier —
+   * funnel metrics ride the same action via Dataset.observe (zero extra
+   * jobs). Amdahl motivation: at local[2]→local[8] the per-stage driver
+   * barriers were ~40% of wall time, capping scaling efficiency at ~0.47.
+   *
+   * `checkpointDir` enables checkpoint/resume on THIS path too (round-2 gap:
+   * resume existed only in the eager mode): stage tables are written through
+   * the TableProvider ASYNCHRONOUSLY (the write overlaps the next stage's
+   * compute — durability without serial wall), keyed by the same
+   * (cacheVersion, inputHash) namespace as the eager mode, so the two modes
+   * resume each other's checkpoints. A killed run restarts from the last
+   * completed stage. Resume-mode pays one up-front fingerprint scan in place
+   * of the observation-carried hash (the skip has to be decided BEFORE the
+   * first action).
+   *
+   * `groups` + cfg.groupGap wire the F2 same/adjacent-group suppression
+   * between candidates and verification (reference default OFF).
    */
   def runPipelined(turns: Dataset[Turn],
                    cfg: DedupConfig = DedupConfig.balanced,
-                   runId: String = "run"): Result = {
+                   runId: String = "run",
+                   groups: Option[DataFrame] = None,
+                   checkpointDir: Option[String] = None): Result = {
     val spark = turns.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.Observation
@@ -128,12 +141,30 @@ object Pipeline {
     val oVer = Observation(); val oTier = Observation()
     val oBuckets = Observation(); val oIn = Observation()
 
+    // T2 routing profile depends only on the (persisted) input — materialize
+    // it CONCURRENTLY with the signature/candidate stages instead of as a
+    // serial step inside the tiered stage (the profile's full-corpus groupBy
+    // was measured thread-independent serial wall; overlapped, it rides the
+    // scheduling gaps of the earlier stages). Concurrent actions on one
+    // SparkSession are safe; the block manager serializes cache fills.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val profF = Future { IntraDup.convProfile(turns).localCheckpoint(true) }
+
+    val io = checkpointIO(checkpointDir)
+    val pre: Option[(String, Long)] = io.map(_ => fingerprintAndCount(turns))
+
     // input fingerprint + count ride the pipeline's one materializing action
     // via observe — no separate full-scan job before the pipeline starts
-    // (that pre-job was pure serial time in the Amdahl budget)
-    val turnsObs = turns.observe(oIn,
-      bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("s"),
-      count(lit(1)).as("n"))
+    // (that pre-job was pure serial time in the Amdahl budget). In resume
+    // mode the hash was already computed up front and the signature stage
+    // may never scan the input, so the observation is skipped.
+    val turnsObs =
+      if (pre.isDefined) turns
+      else turns.observe(oIn,
+        bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("s"),
+        count(lit(1)).as("n"))
     // Stage boundaries are EAGER localCheckpoints, not bare persists: the
     // pipeline is self-join-heavy (bucket x/y, payload _a/_b, z-score edge
     // union, CC symmetric union), and every self-reference makes Catalyst's
@@ -151,37 +182,79 @@ object Pipeline {
     def lap(): Long = {
       val now = System.nanoTime(); val ms = (now - tMark) / 1000000L; tMark = now; ms
     }
-    val sigs = Signatures.compute(Reassembly.assemble(turnsObs), cfg)
-      .observe(oSig, cnt).localCheckpoint(true)
+    val pendingWrites = scala.collection.mutable.ArrayBuffer[Future[Unit]]()
+    val hits = scala.collection.mutable.Set[String]()
+    /** Load the stage checkpoint if present, else compute + async-persist. */
+    def stageCk[T: org.apache.spark.sql.Encoder](name: String, o: Observation)(
+        compute: => Dataset[T]): Dataset[T] = io match {
+      case Some(p) =>
+        val tbl = stageTable(cfg, pre.get._1, name)
+        if (p.exists(spark, tbl)) {
+          hits += name
+          p.read(spark, tbl).as[T].observe(o, cnt).localCheckpoint(true)
+        } else {
+          val ck = compute.observe(o, cnt).localCheckpoint(true)
+          pendingWrites += Future {
+            p.write(ck.toDF(), tbl)
+            val lineage = p.read(spark, tbl)
+              .groupBy(input_file_name().as("partition_file"))
+              .agg(count(lit(1)).as("rows"))
+              .withColumn("stage", lit(name))
+              .withColumn("input_hash", lit(pre.get._1))
+            p.write(lineage, stageTable(cfg, pre.get._1, s"lineage_$name"))
+          }
+          ck
+        }
+      case None => compute.observe(o, cnt).localCheckpoint(true)
+    }
+    val sigs = stageCk("sigs", oSig) {
+      Signatures.compute(Reassembly.assemble(turnsObs), cfg)
+    }
     val msSig = lap()
-    val cands = LshJoin.candidates(sigs, cfg, Some(oBuckets))
-      .observe(oCand, cnt).localCheckpoint(true)
+    val cands = stageCk("candidates", oCand) {
+      val raw = LshJoin.candidates(sigs, cfg, Some(oBuckets))
+      (groups, cfg.groupGap) match {
+        case (Some(g), Some(gap)) => LshJoin.suppressGroups(raw, g, gap)
+        case _ => raw
+      }
+    }
     val msCand = lap()
-    val verified = Verification.verify(cands, sigs, cfg)
-      .observe(oVer, cnt).localCheckpoint(true)
+    val verified = stageCk("verified", oVer) {
+      Verification.verify(cands, sigs, cfg)
+    }
     val msVer = lap()
     // T2 routing: content-type profile keys the per-class tier thresholds
-    val tiered = TierGate(verified, cfg, Some(IntraDup.convProfile(turns)))
-      .observe(oTier, cnt).localCheckpoint(true)
+    val tiered = stageCk("tiered", oTier) {
+      TierGate(verified, cfg, Some(Await.result(profF, Duration.Inf)))
+    }
     val msTier = lap()
     val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
       .select($"conv_a", $"conv_b")
-    val clusters = ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters)
+    // the tiered observation already bounds the edge count — lets CC skip
+    // its dedup/checkpoint/count pre-pass when the driver-local path applies
+    val nTiered = oTier.get("n").asInstanceOf[Long]
+    val clusters = ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters,
+      edgeCountHint = Some(nTiered))
     clusters.count()
     val msCc = lap()
     val totalMs = (System.nanoTime() - t0) / 1000000L
     val ts = java.time.Instant.now.toString
     def n(o: Observation) = o.get("n").asInstanceOf[Long]
-    val hash = f"${oIn.get("s").asInstanceOf[Long]}%016x_${n(oIn)}"
-    val nTurns = n(oIn)
+    val hash = pre.map(_._1).getOrElse(
+      f"${oIn.get("s").asInstanceOf[Long]}%016x_${n(oIn)}")
+    val nTurns = pre.map(_._2).getOrElse(n(oIn))
+    def tag(stage: String, metric: String) =
+      if (hits(stage)) metric + ":cached" else metric
     val counts = Seq(
-      ("signatures", nTurns, n(oSig), msSig), ("candidates", n(oSig), n(oCand), msCand),
-      ("verified", n(oCand), n(oVer), msVer), ("tiered", n(oVer), n(oTier), msTier),
+      (tag("sigs", "signatures"), nTurns, n(oSig), msSig),
+      (tag("candidates", "candidates"), n(oSig), n(oCand), msCand),
+      (tag("verified", "verified"), n(oCand), n(oVer), msVer),
+      (tag("tiered", "tiered"), n(oVer), n(oTier), msTier),
       ("clusters", n(oTier), -1L, msCc))
     // LSH bucket funnel (A4 analog of the reference's logged O(n²)→O(Σb²)
     // reduction): total→paired buckets, plus how many were salted — rides
     // the same action via the observation LshJoin attached to the bucket agg
-    val buck = bucketRow(oBuckets, fresh = true)
+    val buck = bucketRow(oBuckets, fresh = !hits("candidates"))
     def bl(k: String) = buck.get(k).map(_.asInstanceOf[Long]).getOrElse(-1L)
     val bucketMetrics = if (buck.isEmpty) Nil else Seq(
       StageMetric(runId, "lsh_buckets_paired", bl("total_buckets"), bl("paired_buckets"), -1L, ts),
@@ -189,6 +262,13 @@ object Pipeline {
     val metrics = counts.map { case (s, in, out, ms) =>
       StageMetric(runId, s, in, out, ms, ts)
     } ++ bucketMetrics :+ StageMetric(runId, "pipeline_total", nTurns, n(oTier), totalMs, ts)
+    // durability barrier: all async stage writes (+ run lineage) land before
+    // the pipeline returns — a crash AFTER this point loses nothing
+    pendingWrites.foreach(Await.result(_, Duration.Inf))
+    io.foreach { p =>
+      p.write(spark.createDataset(metrics).coalesce(1).toDF(),
+        stageTable(cfg, hash, s"run_metrics_$runId"))
+    }
     Result(hash, sigs, cands, verified, tiered, clusters, metrics)
   }
 
@@ -213,7 +293,8 @@ object Pipeline {
   def run(turns: Dataset[Turn], cfg: DedupConfig = DedupConfig.balanced,
           checkpointDir: Option[String] = None,
           runId: String = "run",
-          hashOverride: Option[String] = None): Result = {
+          hashOverride: Option[String] = None,
+          groups: Option[DataFrame] = None): Result = {
     val spark = turns.sparkSession
     import spark.implicits._
     val io = checkpointIO(checkpointDir)
@@ -247,7 +328,11 @@ object Pipeline {
 
     val oBuckets = org.apache.spark.sql.Observation()
     val (cands, candsHit) = stage(spark, io, cfg, hash, "candidates") {
-      LshJoin.candidates(sigs, cfg, Some(oBuckets))
+      val raw = LshJoin.candidates(sigs, cfg, Some(oBuckets))
+      (groups, cfg.groupGap) match {
+        case (Some(g), Some(gap)) => LshJoin.suppressGroups(raw, g, gap)
+        case _ => raw
+      }
     }
     val nCands = timedCount("candidates", nDocs, cands, candsHit)
     val buck = bucketRow(oBuckets, fresh = !candsHit) // empty on checkpoint hit
@@ -274,7 +359,8 @@ object Pipeline {
       .select($"conv_a", $"conv_b")
     val nEdges = dupEdges.count()
     val (clusters, ccHit) = stage(spark, io, cfg, hash, "clusters") {
-      ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters)
+      ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters,
+        edgeCountHint = Some(nEdges))
     }
     timedCount("clusters", nEdges, clusters, ccHit)
 

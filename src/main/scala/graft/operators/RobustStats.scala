@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Robust per-key outlier detection — median/MAD z-score (SURVEY.md §2.3
+ * X14, the selective-brightness outlier detector's text analog:
+ * /root/reference/ai_pdf_panel_duplicate_check_AUTO.py:2226-2342 computes
+ * per-tile median/MAD exposure stats and flags |z| anomalies).
+ *
+ * Two engines with identical output contract:
+ *  - exact = true: `percentile` — bit-exact vs a SQL oracle, but buffers
+ *    every group's values in one task; correct for CI/oracle use, unsafe
+ *    for a hot key with 10⁸ rows at 100-TB scale.
+ *  - exact = false: `approx_percentile` (Greenwald-Khanna sketch, bounded
+ *    memory per group regardless of group size) — the scale path. At the
+ *    default accuracy the sketch is exact for groups smaller than the
+ *    accuracy parameter, so small-group results match the exact engine
+ *    bit-for-bit (gated in RobustStatsSpec).
+ *
+ * This is the same exact/approximate dual the span engine has
+ * (cfg.spanEngine "sa" vs "lcs").
+ */
+object RobustStats {
+
+  def madOutliers(events: DataFrame,
+                  keyCol: String = "user_id",
+                  valCol: String = "value",
+                  idCol: String = "event_id",
+                  zThreshold: Double = 3.5,
+                  exact: Boolean = true,
+                  accuracy: Int = 10000): DataFrame = {
+    def median(c: String) =
+      if (exact) expr(s"percentile($c, 0.5)")
+      else expr(s"approx_percentile($c, 0.5, $accuracy)")
+    val med = events.groupBy(col(keyCol).as("k1"))
+      .agg(median(valCol).as("med"))
+    val dev = events.join(med, events(keyCol) === col("k1"))
+      .withColumn("adev", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(col(keyCol).as("k2"))
+      .agg(median("adev").as("mad"))
+    dev.join(mad, dev(keyCol) === col("k2"))
+      .filter(col("mad") > 1e-9)
+      .withColumn("robust_z", col("adev") / (lit(1.4826) * col("mad")))
+      .filter(col("robust_z") > zThreshold)
+      .select(col(idCol), col(keyCol), round(col("robust_z"), 4).as("robust_z"))
+  }
+}

@@ -46,8 +46,11 @@ object Verification {
 
     def side(s: String) = payload.toDF(payload.columns.map(_ + s): _*)
 
+    // No pre-repartition: the conv_a equi-join re-shuffles the pair table
+    // anyway (an explicit pair_key spread here was pure wasted exchange),
+    // and per-task skew is already bounded by the per-doc candidate cap —
+    // a hot conversation contributes at most maxPairsPerDoc pairs per side.
     val joined = pairs.toDF()
-      .repartition(col("pair_key")) // salted even spread of pair work
       .join(side("_a"), col("conv_a") === col("conv_id_a"))
       .join(side("_b"), col("conv_b") === col("conv_id_b"))
 

@@ -59,6 +59,41 @@ class AdaptiveSpec extends SparkSpec {
     assert(recall >= 0.90, s"coarse-tier recall=$recall over ${gt.size} pairs")
   }
 
+  test("pipeline-level group suppression: groupGap drops same-group planted dups, OFF leaves them") {
+    import spark.implicits._
+    val spec = ConversationGen.smoke
+    val turns = ConversationGen.corpus(spark, spec)
+    // group every dup clone with its source (same "page"): group id = source index
+    val dupGt = ConversationGen.gtPairs(spec).filter(_.category != "hard_negative")
+    val groupRows = dupGt.flatMap(g =>
+        Seq((g.conv_a, g.conv_a.stripPrefix("c").toLong),
+            (g.conv_b, g.conv_a.stripPrefix("c").toLong)))
+      .distinct
+    val groups = groupRows.toDF("conv_id", "group_id")
+    val groupOf = groupRows.toMap
+    def sameGroup(a: String, b: String) =
+      groupOf.get(a).exists(ga => groupOf.get(b).contains(ga))
+
+    // OFF (reference default): planted same-group dups are found
+    val off = operators.Pipeline.runPipelined(turns, DedupConfig.balanced, runId = "gs_off")
+    val offPairs = off.candidates.select($"conv_a", $"conv_b")
+      .as[(String, String)].collect().toSet
+    assert(offPairs.exists { case (a, b) => sameGroup(a, b) },
+      "planted dups must surface when OFF")
+
+    // ON with gap 0: every same-group pair is suppressed before verification
+    val on = operators.Pipeline.runPipelined(turns,
+      DedupConfig.balanced.copy(groupGap = Some(0)), runId = "gs_on",
+      groups = Some(groups))
+    val onPairs = on.candidates.select($"conv_a", $"conv_b")
+      .as[(String, String)].collect().toSet
+    assert(!onPairs.exists { case (a, b) => sameGroup(a, b) },
+      "same-group pairs must be suppressed when groupGap=Some(0)")
+    // pairs with any ungrouped or cross-group endpoint are untouched
+    assert(onPairs == offPairs.filterNot { case (a, b) => sameGroup(a, b) },
+      "suppression must only remove same-group pairs")
+  }
+
   test("suppressGroups: same/adjacent-group pairs drop, distant/ungrouped survive") {
     import spark.implicits._
     val pairs = Seq(

@@ -50,6 +50,44 @@ class ResumeSpec extends SparkSpec {
     assert(lin.select($"partition_file").distinct().count() == lin.count())
   }
 
+  test("pipelined mode resumes from stage checkpoints after a kill (VERDICT r02 #3)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val turns = ConversationGen.corpus(spark, ConversationGen.smoke)
+    val r1 = Pipeline.runPipelined(turns, DedupConfig.balanced,
+      runId = "p1", checkpointDir = Some(dir))
+    val t1 = r1.tiered.select($"pair_key", $"tier").as[(String, String)].collect().sorted.toSeq
+
+    // simulate a kill after the candidates stage: later stage checkpoints
+    // are gone, sigs + candidates survive
+    val base = s"$dir/${DedupConfig.balanced.cacheVersion}/${r1.inputHash}"
+    def rm(stage: String): Unit = {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$base/$stage")).deleteRecursively()
+    }
+    rm("verified"); rm("tiered")
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/sigs/_SUCCESS")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/candidates/_SUCCESS")))
+
+    val r2 = Pipeline.runPipelined(turns, DedupConfig.balanced,
+      runId = "p2", checkpointDir = Some(dir))
+    val t2 = r2.tiered.select($"pair_key", $"tier").as[(String, String)].collect().sorted.toSeq
+    assert(t1 == t2, "resumed pipelined run must produce identical tiers")
+    // signatures and candidates came from checkpoints, not recompute
+    assert(r2.metrics.exists(_.stage == "signatures:cached"),
+      s"expected signatures cache hit; metrics=${r2.metrics.map(_.stage)}")
+    assert(r2.metrics.exists(_.stage == "candidates:cached"))
+    assert(r2.metrics.exists(_.stage == "verified"), "verified must recompute")
+    // per-partition lineage written for the async-checkpointed stages too
+    val lin = spark.read.parquet(s"$base/lineage_sigs")
+    import org.apache.spark.sql.functions._
+    assert(lin.agg(sum($"rows")).head().getLong(0) == r1.sigs.count())
+    // eager and pipelined modes share one checkpoint namespace: an eager
+    // run over the same input resumes everything
+    val r3 = Pipeline.run(turns, DedupConfig.balanced, Some(dir), runId = "e1")
+    assert(r3.metrics.exists(_.stage == "tiered:cached"))
+  }
+
   test("different cacheVersion or input invalidates the checkpoint") {
     val dir = tmpDir()
     val turns = ConversationGen.corpus(spark, ConversationGen.smoke)

@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.Hashing
+import graft.operators.RobustStats
+
+/**
+ * X14 robust-outlier engines: the exact `percentile` path (oracle parity)
+ * and its bounded-memory `approx_percentile` scale twin must agree when
+ * groups fit inside the sketch accuracy (VERDICT r02 "What's wrong #5" —
+ * the engine needs a variant a hot key with 10⁸ rows cannot OOM).
+ */
+class RobustStatsSpec extends SparkSpec {
+
+  test("approx engine flags the same outliers as exact on bounded groups") {
+    import spark.implicits._
+    // 50 users × 201 values in [0, 10] (robust z ≤ ~1.4, far below the 3.5
+    // gate) + a planted +500 spike for every 5th user (z ≫ 10): no value
+    // sits near the decision boundary, so a sub-ULP median difference
+    // between engines cannot flip a flag
+    val rows = for { u <- 0 until 50; i <- 0 until 201 } yield {
+      val h = Hashing.mix64(u * 1000L + i)
+      val base = java.lang.Long.remainderUnsigned(h, 1000L).toDouble / 100.0
+      val v = if (i == 200 && u % 5 == 0) base + 500.0 else base
+      (u.toLong * 1000 + i, s"u$u", v)
+    }
+    val events = rows.toDF("event_id", "user_id", "value")
+    val exIds = RobustStats.madOutliers(events, exact = true)
+      .select($"event_id").as[Long].collect().toSet
+    val apIds = RobustStats.madOutliers(events, exact = false)
+      .select($"event_id").as[Long].collect().toSet
+    (0 until 50 by 5).foreach { u =>
+      assert(exIds.contains(u.toLong * 1000 + 200), s"planted spike for u$u missed")
+    }
+    assert(exIds == apIds,
+      s"engines disagree: only-exact=${exIds -- apIds}, only-approx=${apIds -- exIds}")
+  }
+}

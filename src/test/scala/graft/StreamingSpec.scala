@@ -66,6 +66,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a dup arriving in a later micro-batch pairs against the earlier corpus (LSH handoff)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val provider = new graft.sources.ParquetDirProvider(dir, "")
+    val base = (0 until 40).map(i => graft.sources.ConversationGen.word(i * 7 % 800)).mkString(" ")
+    val other = (0 until 40).map(i => graft.sources.ConversationGen.word(2000 + i * 11 % 800)).mkString(" ")
+    val input = MemoryStream[Turn]
+    val q = StreamingDedup.startIncremental(
+      StreamingDedup.incrementalFingerprints(input.toDS()),
+      provider, "fp_store", "dup_pairs")
+    try {
+      // batch 1: the corpus — two distinct conversations
+      input.addData(turn("c1", 0, base), turn("c1", 1, other.take(60)),
+        turn("c2", 0, other))
+      q.processAllAvailable()
+      assert(provider.read(spark, "fp_store").count() == 2)
+      // batch 2: c3, a duplicate of c1, arrives LATER — must pair against
+      // the earlier corpus through the chunk band join
+      input.addData(turn("c3", 0, base), turn("c3", 1, other.take(60)))
+      q.processAllAvailable()
+      val pairs = provider.read(spark, "dup_pairs")
+        .select($"conv_a", $"conv_b", $"hamming").as[(String, String, Long)].collect()
+      assert(pairs.exists(p => p._1 == "c1" && p._2 == "c3" && p._3 <= 3),
+        s"expected (c1,c3) dup pair, got ${pairs.toSeq}")
+      assert(!pairs.exists(p => Set(p._1, p._2) == Set("c1", "c2")),
+        "distinct conversations must not pair")
+      assert(provider.read(spark, "fp_store").count() == 3)
+    } finally q.stop()
+  }
+
   test("watermarked window aggregation over a turn stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
