@@ -75,13 +75,24 @@ object ScalingBench {
     val hwLarge = calibrate(large)
     val hwEff = (hwLarge / hwSmall) / factor
 
-    // warm-up (JIT/codegen) outside measurement
-    val warm = Bench.session(small.toString)
-    try {
-      val r = operators.Pipeline.runPipelined(
-        sources.ConversationGen.corpus(warm, sources.ConversationGen.smoke))
-      r.clusters.count()
-    } finally warm.stop()
+    // Warm-up (JIT/codegen) outside measurement — at BOTH levels with a
+    // mid-size corpus. With only a smoke-corpus warm-up at the small level,
+    // the first measured large-level rep paid the whole C2/codegen warm-in
+    // inside its window (observed +95% vs its own steady state, which
+    // poisons a 3-rep median); a substantive run per level moves that cost
+    // outside the measured reps for both.
+    val warmConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_WARM_CONVS", "10000").toLong
+    Seq(small, large).foreach { cpus =>
+      val warm = Bench.session(cpus.toString)
+      try {
+        val c = sources.ConversationGen.corpus(warm,
+          sources.ConversationGen.CorpusSpec(warmConvs, 20, 100)).persist()
+        c.count()
+        val r = operators.Pipeline.runPipelined(c, model.DedupConfig.balanced,
+          runId = s"warm$cpus")
+        r.clusters.count()
+      } finally warm.stop()
+    }
 
     // alternating measured runs; medians defeat the host's ±30% noise
     val secS = collection.mutable.ArrayBuffer[Double]()

@@ -55,6 +55,50 @@ object SparkEntry {
       Pipeline.runPipelined(corpusFor(spark, sfDir), DedupConfig.balanced)
     })
 
+  /** n-gram Jaccard pair table, memoized per (session, sf dir) like the
+    * corpus/pipeline: the shingle-explode self-join DAG feeds BOTH
+    * ngram_jaccard_pairs and mutual_nn (which consumes it 4×) — a
+    * deliberate session-scoped shared result (the materialized table is
+    * tiny; what's cached is the expensive join's output), distinct from
+    * the per-invocation intermediates mutual_nn releases after use. */
+  private val jacCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def jaccardPairsFor(spark: SparkSession, sfDir: String): DataFrame =
+    jacCache.computeIfAbsent(System.identityHashCode(spark) + "|" + sfDir,
+      _ => ngramJaccard(spark, sfDir).localCheckpoint(true))
+
+  /** n-gram Jaccard theta self-join (J3 candidate join, exact small-n path).
+    * Skew armor: the equi-join is O(Σ df²) over shingle document
+    * frequencies — one stop-phrase shared by every doc degenerates it to
+    * O(n²) — so shingles with df > 64 are excluded from the INTERSECTION
+    * (doc sizes still count all shingles; the oracle applies the identical
+    * cap). Same singleton/cap discipline as the LSH band join. */
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = t(s, d, "documents")
+      .select($"doc_id", split(normText($"text"), " ").as("toks"))
+    val grams = toks.select($"doc_id",
+        explode(when(size($"toks") >= 3,
+          array_distinct(transform(sequence(lit(1), size($"toks") - 2),
+            i => concat_ws(" ", element_at($"toks", i),
+              element_at($"toks", i + 1), element_at($"toks", i + 2)))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+    val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val rare = grams.join(
+      grams.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .filter($"df" <= ShingleDfCap).select($"sh"), "sh")
+    val inter = rare.as("a").join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jac" >= 0.05)
+      .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
+  }
+
   /** Flagship: full dedup pipeline (reassembly → MinHash/LSH → verify →
     * tiers) on the smoke corpus; rows > 0 because planted dups are found. */
   def entry(spark: SparkSession): DataFrame =
@@ -91,37 +135,10 @@ object SparkEntry {
         .groupBy(md5(normText($"text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
     }),
-    // n-gram Jaccard theta self-join (J3 candidate join, exact small-n path).
-    // Skew armor: the equi-join is O(Σ df²) over shingle document
-    // frequencies — one stop-phrase shared by every doc degenerates it to
-    // O(n²) — so shingles with df > 64 are excluded from the INTERSECTION
-    // (doc sizes still count all shingles; the oracle applies the identical
-    // cap). Same singleton/cap discipline as the LSH band join.
-    "ngram_jaccard_pairs" -> ((s, d) => {
-      import s.implicits._
-      val toks = t(s, d, "documents")
-        .select($"doc_id", split(normText($"text"), " ").as("toks"))
-      val grams = toks.select($"doc_id",
-          explode(when(size($"toks") >= 3,
-            array_distinct(transform(sequence(lit(1), size($"toks") - 2),
-              i => concat_ws(" ", element_at($"toks", i),
-                element_at($"toks", i + 1), element_at($"toks", i + 2)))))
-            .otherwise(array().cast("array<string>"))).as("sh"))
-      val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val rare = grams.join(
-        grams.groupBy($"sh").agg(count(lit(1)).as("df"))
-          .filter($"df" <= ShingleDfCap).select($"sh"), "sh")
-      val inter = rare.as("a").join(rare.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-        .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
-        .withColumn("jac", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-        .filter($"jac" >= 0.05)
-        .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
-    }),
+    // n-gram Jaccard theta self-join (J3 exact small-n path; implementation
+    // + skew-cap notes at ngramJaccard above). Served from the session-
+    // scoped memo shared with mutual_nn.
+    "ngram_jaccard_pairs" -> ((s, d) => jaccardPairsFor(s, d)),
     // document fingerprinting (X2 analog: content hash + token count)
     "doc_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -347,7 +364,7 @@ object SparkEntry {
     // above it) — persist both levels so the expensive join runs ONCE.
     "mutual_nn" -> ((s, d) => {
       import s.implicits._
-      val pairs = queries("ngram_jaccard_pairs")(s, d).persist()
+      val pairs = jaccardPairsFor(s, d) // shared, already materialized
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"), $"jaccard")
         .unionAll(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"), $"jaccard"))
       val w = Window.partitionBy($"src").orderBy($"jaccard".desc, $"dst")
@@ -358,11 +375,11 @@ object SparkEntry {
         .filter(col("x.src") < col("x.dst"))
         .select(col("x.src").as("doc_a"), col("x.dst").as("doc_b"),
           col("x.jaccard").as("jaccard"))
-        // materialize the tiny result, then release both intermediate caches
-        // (cache hygiene: repeated invocations in a long-lived session must
-        // not accumulate MEMORY_ONLY blocks)
+        // materialize the tiny result, then release the per-invocation
+        // intermediate (cache hygiene: repeated invocations in a long-lived
+        // session must not accumulate MEMORY_ONLY blocks)
         .localCheckpoint(true)
-      topk.unpersist(); pairs.unpersist()
+      topk.unpersist()
       mutual
     }),
     // A7 validation metrics as a first-class query: per transform category,
