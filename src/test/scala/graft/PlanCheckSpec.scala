@@ -63,6 +63,29 @@ class PlanCheckSpec extends SparkSpec {
       s"bucket equi-join degenerated to a cross join:\n$p")
   }
 
+  test("candidate-stage plan keeps its exchange budget (shuffle-collapse discipline)") {
+    import spark.implicits._
+    // The round-3 rework fused bucket sizing into one window exchange and
+    // made the dedup agg + cap windows ride the signature-join exchanges —
+    // the whole candidate join must plan with at most 8 exchanges (it held
+    // ~11 before; regressions here directly re-open the serial driver floor
+    // the 2→8 scaling gate depends on).
+    val turns = sources.ConversationGen.corpus(spark, sources.ConversationGen.smoke)
+    val sigs = operators.Signatures.compute(
+      operators.Reassembly.assemble(turns), model.DedupConfig.balanced)
+      .localCheckpoint(true)
+    val cand = operators.LshJoin.candidates(sigs, model.DedupConfig.balanced)
+    // materialize THIS QueryExecution (count() would build a separate one)
+    // so AQE finalizes the plan; count the shuffle stages that actually ran
+    // in the final section (the tail repeats the pre-AQE Initial Plan)
+    cand.collect()
+    val full = cand.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), s"plan did not finalize:\n$full")
+    val p = full.split("== Initial Plan ==").head
+    val shuffles = "ShuffleQueryStage [0-9]+".r.findAllIn(p).toSet
+    assert(shuffles.size <= 8, s"candidate plan ran ${shuffles.size} shuffle stages ($shuffles):\n$p")
+  }
+
   test("semi and anti joins compile to semi/anti join operators") {
     val semi = planString(SparkEntry.queries("q_semi_join")(spark, sf))
     assert(semi.contains("LeftSemi"), s"no semi join:\n$semi")
