@@ -23,36 +23,94 @@ import graft.model.Turn
  */
 object StreamingDedup {
 
+  import graft.model.DedupConfig
+
+  /**
+   * Per-conversation incremental signature state. MinHash accumulates
+   * per-shingle minima as turns arrive: `tailHashes` carries the last k−1
+   * token hashes so shingles SPANNING a turn boundary are produced exactly
+   * once, and `headHashes` keeps the first k−1 so a conversation that ends
+   * shorter than k tokens can emit the batch kernel's whole-text shingle.
+   * For IN-ORDER turn arrival the emitted minhash/simhash are BIT-EQUAL to
+   * the batch `Signatures` kernel over the reassembled document
+   * (StreamingSpec parity gate); out-of-order arrivals keep content_hash
+   * exact (turn_idx-keyed XOR) and simhash exact (order-free votes) while
+   * minhash misses only the boundary-spanning shingles of the gap.
+   */
   case class ConvState(nTurns: Int, contentHash: Long, simhashVotes: Array[Int],
-                       lastTs: Long)
+                       lastTs: Long, nTokens: Int, headHashes: Array[Long],
+                       tailHashes: Array[Long], minhash: Array[Long])
 
   case class ConvFingerprint(conv_id: String, n_turns: Int, content_hash: Long,
-                             simhash: Long, last_ts: Timestamp, finalized: Boolean)
+                             simhash: Long, minhash: Array[Long],
+                             last_ts: Timestamp, finalized: Boolean)
 
-  private def fold(st: ConvState, t: Turn): ConvState = {
-    val toks = TextKernel.tokens(TextKernel.normalize(t.text))
+  /** Batch-parity masking: signature text sees the tool NAME, not the
+    * payload body (Reassembly.assemble default). */
+  private def sigText(t: Turn): String =
+    if (t.role == "tool") s"[tool:${Option(t.tool).getOrElse("?")}]" else t.text
+
+  private def fold(cfg: DedupConfig): (ConvState, Turn) => ConvState = {
+    val k = cfg.shingleK
+    val (pa, pb) = Hashing.minhashParams(cfg.numPerms, cfg.minhashSeed)
+    (st: ConvState, t: Turn) => {
+    val th = TextKernel.tokenHashes(TextKernel.tokens(TextKernel.normalize(sigText(t))))
     val votes = st.simhashVotes.clone()
-    toks.foreach { tok =>
-      val h = Hashing.xxh64(tok, TextKernel.TokenSeed)
+    th.foreach { h =>
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
     }
+    // every full k-window over (tail ++ new) contains ≥1 new token (the
+    // tail is k−1 long), and every window ending in this turn's tokens is
+    // here — so each shingle of the growing document updates the minima
+    // exactly once
+    val combined = st.tailHashes ++ th
+    val sig = st.minhash.clone()
+    var start = 0
+    while (start + k <= combined.length) {
+      var h = TextKernel.ShingleSeed
+      var j = start
+      while (j < start + k) { h = Hashing.xxh64Long(combined(j), h); j += 1 }
+      var p = 0
+      while (p < sig.length) {
+        val v = pa(p) * h + pb(p)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      start += 1
+    }
+    val newHead =
+      if (st.headHashes.length >= k - 1) st.headHashes
+      else (st.headHashes ++ th).take(k - 1)
+    val newTail = combined.takeRight(k - 1)
     // order-sensitive rolling content hash keyed by turn_idx so late/out-of-
     // order arrivals of DIFFERENT turns still produce a deterministic value
     val ch = st.contentHash ^ Hashing.xxh64Long(
       Hashing.xxh64(t.text, TextKernel.TokenSeed) * 31 + t.turn_idx, 0x57AEA17L)
     ConvState(st.nTurns + 1, ch, votes,
-      math.max(st.lastTs, if (t.ts == null) 0L else t.ts.getTime))
+      math.max(st.lastTs, if (t.ts == null) 0L else t.ts.getTime),
+      st.nTokens + th.length, newHead, newTail, sig)
+    }
   }
 
-  private def toFingerprint(id: String, st: ConvState, finalized: Boolean): ConvFingerprint = {
+  private def toFingerprint(cfg: DedupConfig)(id: String, st: ConvState,
+                                              finalized: Boolean): ConvFingerprint = {
     var sim = 0L
     var b = 0
     while (b < 64) { if (st.simhashVotes(b) > 0) sim |= (1L << b); b += 1 }
-    ConvFingerprint(id, st.nTurns, st.contentHash, sim,
+    // batch-kernel parity for documents shorter than k tokens: the batch
+    // shingle set is ONE whole-text shingle (TextKernel.shingleSetFromHashes)
+    val mh =
+      if (st.nTokens > 0 && st.nTokens < cfg.shingleK) {
+        val (pa, pb) = Hashing.minhashParams(cfg.numPerms, cfg.minhashSeed)
+        var h = TextKernel.ShingleSeed
+        st.headHashes.take(st.nTokens).foreach(t => h = Hashing.xxh64Long(t, h))
+        TextKernel.minhash(Array(h), pa, pb)
+      } else st.minhash
+    ConvFingerprint(id, st.nTurns, st.contentHash, sim, mh,
       new Timestamp(st.lastTs), finalized)
   }
 
@@ -63,66 +121,86 @@ object StreamingDedup {
     * continuously (state expiry checks), so leave it None for
     * processAllAvailable-style tests and bounded backfills. */
   def incrementalFingerprints(turns: Dataset[Turn],
-                              idleTimeoutMs: Option[Long] = None): Dataset[ConvFingerprint] = {
+                              idleTimeoutMs: Option[Long] = None,
+                              cfg: DedupConfig = DedupConfig.balanced): Dataset[ConvFingerprint] = {
     val spark = turns.sparkSession
     import spark.implicits._
     val timeoutConf = if (idleTimeoutMs.isDefined)
       GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    val foldFn = fold(cfg)
+    val emit = toFingerprint(cfg) _
+    val initState = ConvState(0, 0L, new Array[Int](64), 0L, 0,
+      Array.empty[Long], Array.empty[Long],
+      Array.fill(cfg.numPerms)(Long.MaxValue))
     turns.groupByKey(_.conv_id)
       .mapGroupsWithState[ConvState, ConvFingerprint](timeoutConf) {
         case (id, it, state: GroupState[ConvState]) =>
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            toFingerprint(id, st, finalized = true)
+            emit(id, st, true)
           } else {
-            val st0 = state.getOption.getOrElse(
-              ConvState(0, 0L, new Array[Int](64), 0L))
+            val st0 = state.getOption.getOrElse(initState)
             // deterministic fold order within the batch: sort by turn_idx
-            val st = it.toSeq.sortBy(_.turn_idx).foldLeft(st0)(fold)
+            val st = it.toSeq.sortBy(_.turn_idx).foldLeft(st0)(foldFn)
             state.update(st)
             idleTimeoutMs.foreach(ms => state.setTimeoutDuration(ms))
-            toFingerprint(id, st, finalized = false)
+            emit(id, st, false)
           }
       }
   }
 
   // ---- streaming → LSH candidate handoff ---------------------------------
 
-  /** Fingerprint → LSH chunk-band rows: the 4×16-bit simhash decomposition
-    * (Hamming ≤ 3 guarantees ≥ 1 equal chunk by pigeonhole — the same
-    * banding contract as the batch path, DocDedup.simhashFingerprints). */
-  private def chunkBands(fps: DataFrame): DataFrame =
-    fps.select(col("conv_id"), col("simhash"),
-      posexplode(array(
-        col("simhash").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL))))
-        .as(Seq("chunk_id", "chunk_val")))
+  /**
+   * Fingerprint → band rows in ONE disjoint key space:
+   *  - 4×16-bit simhash chunks (Hamming ≤ 3 guarantees ≥ 1 equal chunk by
+   *    pigeonhole — DocDedup.simhashFingerprints' contract), keys mixed
+   *    with the chunk index;
+   *  - the incremental MinHash signature's LSH band keys — the SAME
+   *    `TextKernel.bandKeys` banding the batch J3 join uses, so the
+   *    streaming path has the batch path's near-dup recall, not just the
+   *    exact/near-exact simhash tier.
+   */
+  private def bandRows(fps: DataFrame, cfg: DedupConfig): DataFrame = {
+    val bandUdf = udf((mh: Seq[Long]) =>
+      if (mh == null || mh.isEmpty) Array.empty[Long]
+      else TextKernel.bandKeys(mh.toArray, cfg.bands, cfg.rows))
+    val chunkKeys = array((0 until 4).map(i =>
+      xxhash64(lit(0xC0 + i),
+        shiftright(col("simhash"), 16 * i).bitwiseAND(lit(0xFFFFL)))): _*)
+    fps.select(col("conv_id"), col("simhash"), col("minhash"),
+      explode(concat(chunkKeys, bandUdf(col("minhash")))).as("bkey"))
+  }
 
   /**
    * Incremental candidate join: a micro-batch DELTA of fingerprints vs an
    * accumulated corpus — the streaming handoff into the same LSH band-join
    * shape the batch path uses (equi-join on band key, never all-pairs).
-   * Pairs are canonicalized (conv_a < conv_b) and Hamming-verified.
-   * Reference analog: the incremental cache reuse that lets the reference
-   * re-run only new inputs (/root/reference/ai_pdf_panel_duplicate_check_
-   * AUTO.py:3356-3383).
+   * Pairs are canonicalized (conv_a < conv_b), then verified by simhash
+   * Hamming OR MinHash estimate (the F1 threshold), exactly the batch
+   * evidence pair. Reference analog: the incremental cache reuse that lets
+   * the reference re-run only new inputs
+   * (/root/reference/ai_pdf_panel_duplicate_check_AUTO.py:3356-3383).
    */
   def incrementalCandidates(delta: DataFrame, corpus: DataFrame,
-                            maxDist: Int = 3): DataFrame = {
-    val d = chunkBands(delta).toDF("conv_new", "sim_new", "chunk_id", "chunk_val")
-    val c = chunkBands(corpus).toDF("conv_old", "sim_old", "chunk_id", "chunk_val")
-    d.join(c, Seq("chunk_id", "chunk_val"))
+                            maxDist: Int = 3,
+                            cfg: DedupConfig = DedupConfig.balanced): DataFrame = {
+    val d = bandRows(delta, cfg).toDF("conv_new", "sim_new", "mh_new", "bkey")
+    val c = bandRows(corpus, cfg).toDF("conv_old", "sim_old", "mh_old", "bkey")
+    d.join(c, Seq("bkey"))
       .filter(col("conv_new") =!= col("conv_old"))
       .select(
         least(col("conv_new"), col("conv_old")).as("conv_a"),
         greatest(col("conv_new"), col("conv_old")).as("conv_b"),
         graft.functions.GraftFunctions.hamming64(col("sim_new"), col("sim_old"))
-          .as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .dropDuplicates("conv_a", "conv_b")
+          .as("hamming"),
+        graft.functions.GraftFunctions.minhash_est(col("mh_new"), col("mh_old"))
+          .as("minhash_est"))
+      .filter(col("hamming") <= maxDist || col("minhash_est") >= cfg.simThreshold)
+      .groupBy(col("conv_a"), col("conv_b"))
+      .agg(min(col("hamming")).as("hamming"),
+        max(col("minhash_est")).as("minhash_est"))
   }
 
   /**

@@ -66,6 +66,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash/simhash are bit-equal to the batch signature kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.DedupConfig
+    def ts(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    val longText = (0 until 30).map(i => graft.sources.ConversationGen.word(i * 13 % 700)).mkString(" ")
+    val turnsP = Seq(
+      Turn("cp", 0, "system", "alpha beta gamma delta epsilon zeta", null, ts(0)),
+      Turn("cp", 1, "user", longText, null, ts(1)),
+      Turn("cp", 2, "tool", "this payload body must be MASKED away", "tool_7", ts(2)),
+      Turn("cp", 3, "assistant", "eta theta iota kappa lambda", null, ts(3)))
+    val turnsS = Seq(Turn("cs", 0, "user", "tiny doc", null, ts(0))) // < k tokens
+    val batch = operators.Signatures.compute(
+        operators.Reassembly.assemble(spark.createDataset(turnsP ++ turnsS)),
+        DedupConfig.balanced)
+      .collect().map(s => s.conv_id -> s).toMap
+    // streaming: same turns split across two in-order micro-batches — the
+    // tailHashes state must produce the turn-boundary-spanning shingles
+    val input = MemoryStream[Turn]
+    val q = StreamingDedup.incrementalFingerprints(input.toDS())
+      .writeStream.format("memory").queryName("fp_mh")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(turnsP(0), turnsP(1), turnsS.head); q.processAllAvailable()
+      input.addData(turnsP(2), turnsP(3)); q.processAllAvailable()
+      val fps = spark.sql("select * from fp_mh").as[StreamingDedup.ConvFingerprint].collect()
+      val fp = fps.filter(f => f.conv_id == "cp" && f.n_turns == 4).head
+      assert(fp.simhash == batch("cp").simhash, "simhash must match the batch kernel")
+      assert(fp.minhash.sameElements(batch("cp").minhash),
+        "incremental minhash must be bit-equal to the batch kernel")
+      val fpS = fps.filter(_.conv_id == "cs").head
+      assert(fpS.minhash.sameElements(batch("cs").minhash),
+        "short-doc (< k tokens) whole-text shingle must match the batch kernel")
+    } finally q.stop()
+  }
+
   test("a dup arriving in a later micro-batch pairs against the earlier corpus (LSH handoff)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
