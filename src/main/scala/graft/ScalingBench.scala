@@ -94,18 +94,28 @@ object ScalingBench {
       } finally warm.stop()
     }
 
-    // alternating measured runs; medians defeat the host's ±30% noise
+    // Alternating measured runs; medians defeat the host's ±30% noise.
+    // The FIRST pair at the target corpus size is discarded by default:
+    // across independent sessions the first full-size run per level is
+    // systematically ~1.8× its own steady state (observed 660 s vs
+    // 355/373 s on back-to-back runs — size-dependent warm-in the mid-size
+    // warm-up does not cover), which would bias a 3-rep median. Discarded
+    // runs are still published in the JSON.
+    val discard = sys.env.getOrElse("SPARK_GRAFT_SCALE_DISCARD", "1").toInt
     val secS = collection.mutable.ArrayBuffer[Double]()
     val secL = collection.mutable.ArrayBuffer[Double]()
+    val dropS = collection.mutable.ArrayBuffer[Double]()
+    val dropL = collection.mutable.ArrayBuffer[Double]()
     var nTurns = 0L
-    (1 to reps).foreach { _ =>
-      val (n1, s1) = timedRun(small, nBase); nTurns = n1; secS += s1
-      val (n2, s2) = timedRun(large, nBase); require(n1 == n2); secL += s2
+    (1 to reps + discard).foreach { i =>
+      val (n1, s1) = timedRun(small, nBase); nTurns = n1
+      val (n2, s2) = timedRun(large, nBase); require(n1 == n2)
+      if (i > discard) { secS += s1; secL += s2 } else { dropS += s1; dropL += s2 }
     }
     val mS = median(secS.toSeq); val mL = median(secL.toSeq)
     val thrS = nTurns / mS; val thrL = nTurns / mL
     val eff = (thrL / thrS) / factor
     val effVsHw = eff / hwEff
-    println(s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_turns":$nTurns,"parallelism_small":$small,"parallelism_large":$large,"reps":$reps,"sec_small":${f"$mS%.2f"},"sec_large":${f"$mL%.2f"},"turns_per_sec_small":${f"$thrS%.1f"},"turns_per_sec_large":${f"$thrL%.1f"},"hw_efficiency_ceiling":${f"$hwEff%.3f"},"efficiency_vs_hw":${f"$effVsHw%.3f"},"runs_small_sec":[${secS.map(s => f"$s%.1f").mkString(",")}],"runs_large_sec":[${secL.map(s => f"$s%.1f").mkString(",")}]}""")
+    println(s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_turns":$nTurns,"parallelism_small":$small,"parallelism_large":$large,"reps":$reps,"sec_small":${f"$mS%.2f"},"sec_large":${f"$mL%.2f"},"turns_per_sec_small":${f"$thrS%.1f"},"turns_per_sec_large":${f"$thrL%.1f"},"hw_efficiency_ceiling":${f"$hwEff%.3f"},"efficiency_vs_hw":${f"$effVsHw%.3f"},"runs_small_sec":[${secS.map(s => f"$s%.1f").mkString(",")}],"runs_large_sec":[${secL.map(s => f"$s%.1f").mkString(",")}],"discarded_small_sec":[${dropS.map(s => f"$s%.1f").mkString(",")}],"discarded_large_sec":[${dropL.map(s => f"$s%.1f").mkString(",")}]}""")
   }
 }
