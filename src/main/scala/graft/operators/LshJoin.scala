@@ -251,10 +251,14 @@ object LshJoin {
                      gap: Int = 0): Dataset[CandidatePair] = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // one group per conv: a caller-supplied duplicate conv_id row would
+    // otherwise MULTIPLY surviving pairs through the two left joins
+    val g1 = groups.select(col("conv_id"), col("group_id"))
+      .dropDuplicates("conv_id")
     pairs.toDF()
-      .join(groups.select(col("conv_id").as("conv_a"), col("group_id").as("grp_a")),
+      .join(g1.select(col("conv_id").as("conv_a"), col("group_id").as("grp_a")),
         Seq("conv_a"), "left")
-      .join(groups.select(col("conv_id").as("conv_b"), col("group_id").as("grp_b")),
+      .join(g1.select(col("conv_id").as("conv_b"), col("group_id").as("grp_b")),
         Seq("conv_b"), "left")
       .filter($"grp_a".isNull || $"grp_b".isNull || abs($"grp_a" - $"grp_b") > gap)
       .select($"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"band_id", $"source")

@@ -9,12 +9,16 @@ import graft.model._
  * per-stage funnel metrics (SURVEY.md §3.1 Spark shape, §2.1 S4/S5).
  *
  * Resume: each stage optionally persists to
- *   {checkpointDir}/{cacheVersion}/{inputHash}/{stage}
+ *   {checkpointDir}/{cacheVersion}-{configHash}[-g{groupsHash}]/{inputHash}/{stage}
  * with a _SUCCESS marker from the parquet commit protocol; a re-run with the
  * same input + config reads the stage table instead of recomputing — the
  * Spark port of the reference's versioned cache with input-hash invalidation
  * (/root/reference/duplicate_detector/core/similarity_engine.py:40-62,
- * 142-206): different input or cacheVersion → different directory → cold run.
+ * 142-206): different input, cacheVersion, OR any semantic config knob
+ * (the reference echoes its full config into the cache meta the same way,
+ * ai_...AUTO.py:3386-3452) → different directory → cold run. When group
+ * suppression is active, the groups table's content fingerprint is part of
+ * the namespace too — the candidates stage output depends on it.
  *
  * Metrics mirror PipelineMetrics (ai_...AUTO.py:390-452): per-stage
  * input/output counts + duration, written as JSON next to the checkpoints
@@ -74,8 +78,42 @@ object Pipeline {
   private def checkpointIO(dirOpt: Option[String]): Option[graft.sources.TableProvider] =
     dirOpt.map(dir => new graft.sources.ParquetDirProvider(dir, ""))
 
-  private def stageTable(cfg: DedupConfig, hash: String, stage: String) =
-    s"${cfg.cacheVersion}/$hash/$stage"
+  /** Deterministic fingerprint of every semantic `DedupConfig` field EXCEPT
+    * cacheVersion (the user's manual namespace lever). Folded into the
+    * checkpoint namespace so changing any knob — simThreshold, bands,
+    * groupGap, typeGates… — invalidates stage tables instead of silently
+    * serving results computed under the old config (VERDICT r03 wrong #1). */
+  private[graft] def configFingerprint(cfg: DedupConfig): String = {
+    val gates = cfg.typeGates.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(";")
+    val scalars = cfg.copy(cacheVersion = "", typeGates = Map.empty)
+      .productIterator.mkString("|")
+    f"${graft.functions.Hashing.xxh64(scalars + "|" + gates, 0x6CF61AB5L)}%016x"
+      .take(12)
+  }
+
+  /** Content fingerprint of the groups table — only when suppression is
+    * actually active (groups supplied AND groupGap set); an inert groups
+    * argument must not invalidate checkpoints. One tiny aggregate job,
+    * order-independent (xor of row hashes + count). */
+  private def groupsFingerprint(groups: Option[DataFrame],
+                                cfg: DedupConfig): String =
+    (groups, cfg.groupGap) match {
+      case (Some(g), Some(_)) =>
+        val r = g.select(
+          bit_xor(xxhash64(col("conv_id"), col("group_id"))).as("s"),
+          count(lit(1)).as("n")).head()
+        f"-g${r.getLong(0)}%016x_${r.getLong(1)}"
+      case _ => ""
+    }
+
+  /** Namespace prefix (everything before /{inputHash}/{stage}) — exposed
+    * for specs that surgically delete stage tables. */
+  private[graft] def namespaceFor(cfg: DedupConfig, groupsKey: String = ""): String =
+    s"${cfg.cacheVersion}-${configFingerprint(cfg)}$groupsKey"
+
+  /** `ns` = {namespaceFor(...)}/{inputHash}. */
+  private def stageTable(ns: String, stage: String) = s"$ns/$stage"
 
   /** Run (or resume) one stage: load checkpoint if present, else compute and
     * persist. Returns the stage Dataset plus whether it was a cache hit.
@@ -83,11 +121,11 @@ object Pipeline {
     * next to the stage table (north_rule per-partition/per-snapshot lineage;
     * with an Iceberg provider these become per-snapshot manifest analogs). */
   private def stage[T: org.apache.spark.sql.Encoder](
-      spark: SparkSession, io: Option[graft.sources.TableProvider], cfg: DedupConfig,
+      spark: SparkSession, io: Option[graft.sources.TableProvider], ns: String,
       hash: String, name: String)(compute: => Dataset[T]): (Dataset[T], Boolean) = {
     io match {
       case Some(p) =>
-        val tbl = stageTable(cfg, hash, name)
+        val tbl = stageTable(ns, name)
         if (p.exists(spark, tbl)) {
           (p.read(spark, tbl).as[T], true)
         } else {
@@ -98,7 +136,7 @@ object Pipeline {
             .agg(count(lit(1)).as("rows"))
             .withColumn("stage", lit(name))
             .withColumn("input_hash", lit(hash))
-          p.write(lineage, stageTable(cfg, hash, s"lineage_$name"))
+          p.write(lineage, stageTable(ns, s"lineage_$name"))
           (p.read(spark, tbl).as[T], false)
         }
       case None => (compute.persist(), false) // share work across downstream actions
@@ -141,19 +179,33 @@ object Pipeline {
     val oVer = Observation(); val oTier = Observation()
     val oBuckets = Observation(); val oIn = Observation()
 
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
+    val io = checkpointIO(checkpointDir)
+    val pre: Option[(String, Long)] = io.map(_ => fingerprintAndCount(turns))
+    // config-aware checkpoint namespace (see stageTable scaladoc)
+    val nsOpt: Option[String] = pre.map { case (h, _) =>
+      s"${namespaceFor(cfg, groupsFingerprint(groups, cfg))}/$h"
+    }
+
     // T2 routing profile depends only on the (persisted) input — materialize
     // it CONCURRENTLY with the signature/candidate stages instead of as a
     // serial step inside the tiered stage (the profile's full-corpus groupBy
     // was measured thread-independent serial wall; overlapped, it rides the
     // scheduling gaps of the earlier stages). Concurrent actions on one
     // SparkSession are safe; the block manager serializes cache fills.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val profF = Future { IntraDup.convProfile(turns).localCheckpoint(true) }
-
-    val io = checkpointIO(checkpointDir)
-    val pre: Option[(String, Long)] = io.map(_ => fingerprintAndCount(turns))
+    // Skipped entirely when the tiered checkpoint already exists (a full
+    // resume must not run — and silently discard — a full-corpus groupBy);
+    // when it does run, its result is Awaited so failures propagate.
+    val tieredCached = (io, nsOpt) match {
+      case (Some(p), Some(ns)) => p.exists(spark, stageTable(ns, "tiered"))
+      case _ => false
+    }
+    val profF: Option[Future[DataFrame]] =
+      if (tieredCached) None
+      else Some(Future { IntraDup.convProfile(turns).localCheckpoint(true) })
 
     // input fingerprint + count ride the pipeline's one materializing action
     // via observe — no separate full-scan job before the pipeline starts
@@ -188,7 +240,7 @@ object Pipeline {
     def stageCk[T: org.apache.spark.sql.Encoder](name: String, o: Observation)(
         compute: => Dataset[T]): Dataset[T] = io match {
       case Some(p) =>
-        val tbl = stageTable(cfg, pre.get._1, name)
+        val tbl = stageTable(nsOpt.get, name)
         if (p.exists(spark, tbl)) {
           hits += name
           p.read(spark, tbl).as[T].observe(o, cnt).localCheckpoint(true)
@@ -201,7 +253,7 @@ object Pipeline {
               .agg(count(lit(1)).as("rows"))
               .withColumn("stage", lit(name))
               .withColumn("input_hash", lit(pre.get._1))
-            p.write(lineage, stageTable(cfg, pre.get._1, s"lineage_$name"))
+            p.write(lineage, stageTable(nsOpt.get, s"lineage_$name"))
           }
           ck
         }
@@ -225,7 +277,7 @@ object Pipeline {
     val msVer = lap()
     // T2 routing: content-type profile keys the per-class tier thresholds
     val tiered = stageCk("tiered", oTier) {
-      TierGate(verified, cfg, Some(Await.result(profF, Duration.Inf)))
+      TierGate(verified, cfg, profF.map(f => Await.result(f, Duration.Inf)))
     }
     val msTier = lap()
     val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
@@ -267,7 +319,7 @@ object Pipeline {
     pendingWrites.foreach(Await.result(_, Duration.Inf))
     io.foreach { p =>
       p.write(spark.createDataset(metrics).coalesce(1).toDF(),
-        stageTable(cfg, hash, s"run_metrics_$runId"))
+        stageTable(nsOpt.get, s"run_metrics_$runId"))
     }
     Result(hash, sigs, cands, verified, tiered, clusters, metrics)
   }
@@ -320,14 +372,15 @@ object Pipeline {
       case Some(h) => (h, turns.count()) // snapshot-id keying: no hash scan
       case None => fingerprintAndCount(turns)
     }
+    val ns = s"${namespaceFor(cfg, groupsFingerprint(groups, cfg))}/$hash"
 
-    val (sigs, sigsHit) = stage(spark, io, cfg, hash, "sigs") {
+    val (sigs, sigsHit) = stage(spark, io, ns, hash, "sigs") {
       Signatures.compute(Reassembly.assemble(turns), cfg)
     }
     val nDocs = timedCount("signatures", nTurns, sigs, sigsHit)
 
     val oBuckets = org.apache.spark.sql.Observation()
-    val (cands, candsHit) = stage(spark, io, cfg, hash, "candidates") {
+    val (cands, candsHit) = stage(spark, io, ns, hash, "candidates") {
       val raw = LshJoin.candidates(sigs, cfg, Some(oBuckets))
       (groups, cfg.groupGap) match {
         case (Some(g), Some(gap)) => LshJoin.suppressGroups(raw, g, gap)
@@ -345,12 +398,12 @@ object Pipeline {
         bl("total_buckets"), bl("salted_buckets"), -1L, ts)
     }
 
-    val (verified, verHit) = stage(spark, io, cfg, hash, "verified") {
+    val (verified, verHit) = stage(spark, io, ns, hash, "verified") {
       Verification.verify(cands, sigs, cfg)
     }
     val nVer = timedCount("verified", nCands, verified, verHit)
 
-    val (tiered, tierHit) = stage(spark, io, cfg, hash, "tiered") {
+    val (tiered, tierHit) = stage(spark, io, ns, hash, "tiered") {
       TierGate(verified, cfg, Some(IntraDup.convProfile(turns)))
     }
     timedCount("tiered", nVer, tiered, tierHit)
@@ -358,7 +411,7 @@ object Pipeline {
     val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
       .select($"conv_a", $"conv_b")
     val nEdges = dupEdges.count()
-    val (clusters, ccHit) = stage(spark, io, cfg, hash, "clusters") {
+    val (clusters, ccHit) = stage(spark, io, ns, hash, "clusters") {
       ConnectedComponents.cluster(dupEdges.toDF(), cfg.ccMaxIters,
         edgeCountHint = Some(nEdges))
     }
@@ -368,7 +421,7 @@ object Pipeline {
       // run lineage next to the stage checkpoints (S5/A4, north_rule
       // per-snapshot lineage) — same provider, same namespace
       p.write(spark.createDataset(metrics.toSeq).coalesce(1).toDF(),
-        stageTable(cfg, hash, s"run_metrics_$runId"))
+        stageTable(ns, s"run_metrics_$runId"))
     }
 
     Result(hash, sigs, cands, verified, tiered, clusters, metrics.toSeq)

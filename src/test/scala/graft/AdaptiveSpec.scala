@@ -110,5 +110,15 @@ class AdaptiveSpec extends SparkSpec {
     val adj = LshJoin.suppressGroups(pairs, groups, gap = 1)
       .collect().map(_.pair_key).toSet
     assert(adj == Set("a|d", "a|e"))
+
+    // duplicate conv_id rows in the groups table must not MULTIPLY surviving
+    // pairs through the two left joins (ADVICE r03): output stays one row
+    // per input pair
+    val dupGroups = groups.unionAll(groups).unionAll(
+      Seq(("d", 51L)).toDF("conv_id", "group_id"))
+    val out = LshJoin.suppressGroups(pairs, dupGroups, gap = 0).collect()
+    assert(out.length == out.map(_.pair_key).distinct.length,
+      s"duplicated groups rows multiplied pairs: ${out.map(_.pair_key).toSeq}")
+    assert(out.map(_.pair_key).toSet == Set("a|c", "a|d", "a|e"))
   }
 }
