@@ -25,6 +25,11 @@ trait TableProvider {
   /** Write (overwrite) a logical table. */
   def write(df: DataFrame, table: String): Unit
 
+  /** Append rows to a logical table, creating it if absent — the
+    * incremental-maintenance primitive (Iceberg: a fast-append commit;
+    * parquet dirs: additional part files, earlier files untouched). */
+  def append(df: DataFrame, table: String): Unit
+
   /** True if the table exists and is complete (committed). */
   def exists(spark: SparkSession, table: String): Boolean
 
@@ -52,6 +57,9 @@ final class ParquetDirProvider(root: String, suffix: String = ".parquet") extend
   override def write(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path(table))
 
+  override def append(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(table))
+
   override def exists(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(table), "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -75,6 +83,10 @@ final class IcebergCatalogProvider(catalog: String, namespace: String) extends T
 
   override def write(df: DataFrame, table: String): Unit =
     df.writeTo(fqn(table)).using("iceberg").createOrReplace()
+
+  override def append(df: DataFrame, table: String): Unit =
+    if (exists(df.sparkSession, table)) df.writeTo(fqn(table)).append()
+    else df.writeTo(fqn(table)).using("iceberg").create()
 
   override def exists(spark: SparkSession, table: String): Boolean =
     // probe must not throw when the catalog itself is absent/misconfigured

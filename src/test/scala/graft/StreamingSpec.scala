@@ -133,6 +133,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental store: per-batch work is O(|delta|) — append-only band store, no corpus recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.DedupConfig
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_").toString
+    val provider = new graft.sources.ParquetDirProvider(dir, "")
+    val cfg = DedupConfig.balanced
+    val keysPerConv = cfg.bands + 4 // LSH bands + 4 simhash chunks
+    def text(seed: Int) =
+      (0 until 40).map(i => graft.sources.ConversationGen.word(seed + i * 7 % 800)).mkString(" ")
+    def partFiles(tbl: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/$tbl")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length()).toMap
+    }
+    val input = MemoryStream[Turn]
+    val q = StreamingDedup.startIncremental(
+      StreamingDedup.incrementalFingerprints(input.toDS()),
+      provider, "fp_store", "dup_pairs", cfg)
+    try {
+      // batch 1: corpus seed — three distinct conversations
+      input.addData(turn("c1", 0, text(0)), turn("c2", 0, text(5000)),
+        turn("c3", 0, text(9000)))
+      q.processAllAvailable()
+      val files1 = partFiles("fp_store_bands")
+      // batch 2: one NEW conv + an UPDATE to c2 (stale band rows exercised)
+      input.addData(turn("c4", 0, text(13000)), turn("c2", 1, "extra turn arrives"))
+      q.processAllAvailable()
+      val files2 = partFiles("fp_store_bands")
+      // batch 3: c5 duplicates c1 (batch-1 corpus) — must pair via the store
+      input.addData(turn("c5", 0, text(0)))
+      q.processAllAvailable()
+      val files3 = partFiles("fp_store_bands")
+
+      // per-batch banding work is |delta| × keysPerConv — NOT corpus-sized
+      val log = provider.read(spark, "dup_pairs_batchlog")
+        .orderBy($"batch_id")
+        .select($"n_delta", $"n_delta_band_rows").as[(Long, Long)].collect()
+      assert(log.length == 3, s"expected 3 batch rows, got ${log.length}")
+      assert(log.map(_._1).toSeq == Seq(3L, 2L, 1L),
+        s"delta sizes per batch: ${log.map(_._1).toSeq}")
+      log.foreach { case (nDelta, nBands) =>
+        assert(nBands == nDelta * keysPerConv,
+          s"band rows computed per batch must be |delta|*$keysPerConv, got $nBands for $nDelta convs")
+      }
+      // the band store grows append-only: every earlier part file survives
+      // each batch unchanged, and rows = cumulative sum of per-batch deltas
+      files1.foreach { case (n, sz) =>
+        assert(files2.get(n).contains(sz) && files3.get(n).contains(sz),
+          s"batch-1 band file $n was rewritten") }
+      files2.foreach { case (n, sz) =>
+        assert(files3.get(n).contains(sz), s"batch-2 band file $n was rewritten") }
+      assert(provider.read(spark, "fp_store_bands").count() == log.map(_._2).sum)
+
+      // handoff recall across the store: the batch-3 dup pairs against the
+      // batch-1 corpus, and no distinct conversations pair
+      val pairs = provider.read(spark, "dup_pairs")
+        .select($"conv_a", $"conv_b").as[(String, String)].collect().toSeq
+      assert(pairs.contains(("c1", "c5")), s"expected (c1,c5), got $pairs")
+      assert(pairs == pairs.distinct, s"pairs table must stay unique: $pairs")
+      assert(!pairs.exists(p => Set(p._1, p._2) == Set("c1", "c2")))
+      // fingerprint log: latest row per conv reflects the c2 update
+      val c2 = provider.read(spark, "fp_store").filter($"conv_id" === "c2")
+        .orderBy($"n_turns".desc).select($"n_turns").as[Int].collect()
+      assert(c2.toSeq == Seq(2, 1), "fp log keeps both generations, latest first by n_turns")
+    } finally q.stop()
+  }
+
   test("watermarked window aggregation over a turn stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
