@@ -118,6 +118,11 @@ object SparkEntry {
       s.createDataset(pipelineFor(s, d).metrics).toDF()
         .select($"stage", $"input_count", $"output_count")
     }),
+    // run-policy gates over the pipeline's own output (unlabeled-data tuning
+    // aid, local_eval_policy.py:23-31 analog) — oracled via the
+    // flag_dedup_tiers dump Verify writes next to the query outputs
+    "flag_policy_gates" -> ((s, d) =>
+      PolicyGates.evaluate(pipelineFor(s, d).tiered.toDF())),
 
     // ---- dedup operators over the documents table (oracled) -------------
     // exact dedup via content fingerprint hash-groupBy (S3 sink shape; the
@@ -432,6 +437,54 @@ object SparkEntry {
     * synthesized transcript corpus (no parquet table exists in the sf dir)
     * read the corpus dump Verify writes next to the query outputs. */
   def oracleSql: Map[String, String] = Map(
+    "flag_policy_gates" ->
+      """WITH t AS (
+           SELECT * FROM read_parquet('{GRAFT_OUT}/flag_dedup_tiers/*.parquet')),
+         s AS (
+           SELECT count(*) AS n,
+             coalesce(avg(CASE WHEN jaccard < 0.25 AND simhash_dist > 8
+                            AND max_span_len < 200 THEN 1.0 ELSE 0.0 END), 0.0) AS fp_rate,
+             coalesce(avg(CASE WHEN regexp_extract(conv_a, '^[a-z]+')
+                            <> regexp_extract(conv_b, '^[a-z]+')
+                          THEN 1.0 ELSE 0.0 END), 0.0) AS cross_ratio,
+             coalesce(avg(CASE WHEN tier = 'A' THEN 1.0 ELSE 0.0 END), 0.0) AS tier_a,
+             coalesce(sum(CASE WHEN simhash_dist <= 3
+                            OR (max_span_len >= 200 AND span_frac >= 0.30)
+                          THEN 1 ELSE 0 END), 0)::BIGINT AS anchors,
+             coalesce(sum(CASE WHEN (simhash_dist <= 3
+                            OR (max_span_len >= 200 AND span_frac >= 0.30))
+                            AND tier = 'A' THEN 1 ELSE 0 END), 0)::BIGINT AS anchors_a
+           FROM t),
+         p AS (SELECT *, CASE WHEN anchors = 0 THEN 1.0
+                              ELSE anchors_a::DOUBLE / anchors END AS aprec FROM s)
+         SELECT 'fp_rate' AS gate, round(fp_rate, 4) AS value,
+           0.35 AS threshold, fp_rate <= 0.35 AS pass, n FROM p
+         UNION ALL SELECT 'cross_group_ratio', round(cross_ratio, 4),
+           0.40, cross_ratio >= 0.40, n FROM p
+         UNION ALL SELECT 'tier_a_share', round(tier_a, 4),
+           0.05, tier_a >= 0.05, n FROM p
+         UNION ALL SELECT 'anchor_precision', round(aprec, 4),
+           0.90, aprec >= 0.90, anchors FROM p""",
+    "validation_metrics" ->
+      """WITH gt AS (
+           SELECT conv_a, conv_b, transform_type, should_detect
+           FROM read_parquet('{GRAFT_OUT}/gt_pairs/*.parquet')),
+         det AS (
+           SELECT conv_a, conv_b
+           FROM read_parquet('{GRAFT_OUT}/flag_dedup_tiers/*.parquet')
+           WHERE tier IN ('A', 'B')),
+         sym AS (
+           SELECT DISTINCT conv_a, conv_b FROM (
+             SELECT conv_a, conv_b FROM det
+             UNION ALL SELECT conv_b AS conv_a, conv_a AS conv_b FROM det)),
+         j AS (
+           SELECT gt.transform_type, gt.should_detect,
+             CASE WHEN sym.conv_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+           FROM gt LEFT JOIN sym USING (conv_a, conv_b))
+         SELECT transform_type, should_detect, count(*) AS n_pairs,
+           sum(hit)::BIGINT AS n_detected,
+           round(sum(hit)::DOUBLE / count(*), 4) AS detection_rate
+         FROM j GROUP BY 1, 2""",
     "conv_profile" ->
       """WITH a AS (
            SELECT conv_id, count(*) AS n_turns,

@@ -20,6 +20,10 @@ object Verify {
     // (conv_profile) can be DuckDB-oracled via {GRAFT_OUT} substitution
     SparkEntry.corpusFor(spark, sfDir).coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/corpus_turns")
+    // ground-truth manifest dump: lets the validation_metrics groupBy be
+    // DuckDB-oracled as pure SQL over (gt_pairs ⋈ flag_dedup_tiers)
+    graft.sources.ConversationGen.gtDataset(spark, SparkEntry.specFor(sfDir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/gt_pairs")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.PolicyGates
+
+/** Run-policy gate evaluator (local_eval_policy.py:23-31 analog): fixture
+  * with hand-computed gate values, plus the groups-table cross axis. */
+class PolicyGatesSpec extends SparkSpec {
+
+  // (conv_a, conv_b, jaccard, simhash_dist, max_span_len, span_frac, tier)
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      ("c00000001", "d0_exact", 0.95, 0,  500, 0.90, "A"),     // anchor, A, cross
+      ("c00000002", "d1_subst", 0.50, 10, 300, 0.40, "A"),     // span anchor, A, cross
+      ("hn1_a",     "hn1_b",    0.10, 20, 50,  0.05, "other"), // FP proxy, same class
+      ("c00000003", "c00000004",0.20, 12, 10,  0.00, "B"),     // FP proxy, same class
+      ("c00000005", "d2_shuf",  0.40, 9,  100, 0.10, "B"),     // clean, cross
+      ("c00000006", "d3_shuf",  0.80, 2,  250, 0.50, "B"))     // anchor but B
+      .toDF("conv_a", "conv_b", "jaccard", "simhash_dist",
+        "max_span_len", "span_frac", "tier")
+  }
+
+  test("gate values and pass flags match the hand computation") {
+    val out = PolicyGates.evaluate(fixture).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    assert(out("fp_rate") == ((0.3333, 0.35, true, 6L)))          // 2/6
+    assert(out("cross_group_ratio") == ((0.6667, 0.40, true, 6L))) // 4/6
+    assert(out("tier_a_share") == ((0.3333, 0.05, true, 6L)))      // 2/6
+    assert(out("anchor_precision") == ((0.6667, 0.90, false, 3L))) // 2/3 anchors A
+  }
+
+  test("groups table drives the cross axis; duplicate group rows don't multiply") {
+    import spark.implicits._
+    // put rows 1+2's endpoints in ONE group → only row 5/6 cross; ungrouped
+    // endpoints always count as cross
+    val groups = Seq(
+      ("c00000001", 1L), ("d0_exact", 1L),
+      ("c00000002", 2L), ("d1_subst", 2L),
+      ("hn1_a", 3L), ("hn1_b", 3L),
+      ("c00000003", 4L), ("c00000004", 4L),
+      // duplicates that must not multiply the pair rows
+      ("c00000001", 1L), ("d0_exact", 1L)
+    ).toDF("conv_id", "group_id")
+    val out = PolicyGates.evaluate(fixture, Some(groups)).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(4)))).toMap
+    // cross pairs: rows 5 and 6 (ungrouped endpoints) → 2/6
+    assert(out("cross_group_ratio") == ((0.3333, 6L)))
+    assert(out("fp_rate")._2 == 6L, "duplicate group rows must not inflate n")
+  }
+
+  test("empty input yields defined gates (no nulls), anchor precision defaults pass") {
+    val empty = fixture.limit(0)
+    val out = PolicyGates.evaluate(empty).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(3)))).toMap
+    assert(out("fp_rate") == ((0.0, true)))
+    assert(out("anchor_precision") == ((1.0, true)))
+    assert(out("tier_a_share") == ((0.0, false)))
+  }
+}
