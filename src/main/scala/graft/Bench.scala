@@ -75,14 +75,28 @@ object Bench {
 
     // headline: end-to-end dedup pipeline throughput in turns/sec over a
     // MATERIALIZED input (persist + count before the clock — production
-    // input is an Iceberg table, not a generator). Uses the same memoized
-    // corpus the battery queries share.
+    // input is an Iceberg table, not a generator). MEDIAN OF 3 runs with all
+    // samples published (VERDICT r03 wrong #3: a single cold sample once
+    // recorded a 3.5× co-tenant outlier as the round's official number; the
+    // ±30% host noise is documented in BASELINE.md). Run 1 rides the shared
+    // memo the battery queries reuse; runs 2-3 are fresh pipelines whose
+    // caches are released immediately.
     val corpus = SparkEntry.corpusFor(spark, sfDir)
     val nTurns = corpus.count()
-    val t0 = System.nanoTime()
-    val result = SparkEntry.pipelineFor(spark, sfDir)
-    result.clusters.count()
-    val pipeSec = (System.nanoTime() - t0) / 1e9
+    val pipeSamples = (1 to 3).map { rep =>
+      val t0 = System.nanoTime()
+      val result =
+        if (rep == 1) SparkEntry.pipelineFor(spark, sfDir)
+        else graft.operators.Pipeline.runPipelined(
+          corpus, graft.model.DedupConfig.balanced, runId = s"bench_r$rep")
+      result.clusters.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (rep > 1)
+        Seq(result.sigs, result.candidates, result.verified, result.tiered,
+          result.clusters).foreach(_.unpersist())
+      sec
+    }
+    val pipeSec = pipeSamples.sorted.apply(1) // median of 3
     val turnsPerSec = nTurns / pipeSec
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -99,7 +113,8 @@ object Bench {
     val errs = results.collect { case (name, _, Some(e)) => "\"" + name + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipeSec
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_turns":$nTurns,"turns_per_sec":${f"$turnsPerSec%.1f"}}""")
+    val samples = pipeSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_turns":$nTurns,"turns_per_sec":${f"$turnsPerSec%.1f"},"pipeline_samples":$samples}""")
     if (results.exists(_._3.isDefined))
       System.err.println(s"[bench] ${results.count(_._3.isDefined)} queries FAILED: " +
         results.collect { case (n, _, Some(e)) => s"$n ($e)" }.mkString("; "))

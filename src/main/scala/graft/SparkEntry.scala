@@ -37,10 +37,36 @@ object SparkEntry {
   private val corpusCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[graft.model.Turn]]()
 
+  // Memo lifetime = the SparkContext's: when the application ends, every
+  // cached block and checkpoint RDD dies with the context, so the map
+  // entries (which would otherwise pin dead Dataset objects in a long-lived
+  // multi-session JVM) are evicted by an application-end listener registered
+  // on first memo use (re-registered if a new context appears).
+  private[graft] val memoListener = new org.apache.spark.scheduler.SparkListener {
+    override def onApplicationEnd(
+        e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evictMemos()
+  }
+  private[graft] def evictMemos(): Unit = {
+    pipeCache.clear(); corpusCache.clear(); jacCache.clear()
+  }
+  private[graft] def memoSize: Int =
+    pipeCache.size + corpusCache.size + jacCache.size
+  @volatile private var hookedAppId: String = null
+  private def memoKey(spark: SparkSession, sfDir: String): String = {
+    val appId = spark.sparkContext.applicationId
+    if (hookedAppId != appId) synchronized {
+      if (hookedAppId != appId) {
+        spark.sparkContext.addSparkListener(memoListener)
+        hookedAppId = appId
+      }
+    }
+    System.identityHashCode(spark) + "|" + sfDir
+  }
+
   /** Synthetic transcript corpus, generated once per (session, sf dir) and
     * persisted — production reads a table once; queries share it. */
   def corpusFor(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[graft.model.Turn] =
-    corpusCache.computeIfAbsent(System.identityHashCode(spark) + "|" + sfDir,
+    corpusCache.computeIfAbsent(memoKey(spark, sfDir),
       _ => ConversationGen.corpus(spark, specFor(sfDir)).persist())
 
   /** Synthetic transcript corpus scale tied to the sf dir (BASELINE input_hint
@@ -51,7 +77,7 @@ object SparkEntry {
     else ConversationGen.CorpusSpec(1000, 12, 60)
 
   def pipelineFor(spark: SparkSession, sfDir: String): Pipeline.Result =
-    pipeCache.computeIfAbsent(System.identityHashCode(spark) + "|" + sfDir, _ => {
+    pipeCache.computeIfAbsent(memoKey(spark, sfDir), _ => {
       Pipeline.runPipelined(corpusFor(spark, sfDir), DedupConfig.balanced)
     })
 
@@ -64,7 +90,7 @@ object SparkEntry {
   private val jacCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def jaccardPairsFor(spark: SparkSession, sfDir: String): DataFrame =
-    jacCache.computeIfAbsent(System.identityHashCode(spark) + "|" + sfDir,
+    jacCache.computeIfAbsent(memoKey(spark, sfDir),
       _ => ngramJaccard(spark, sfDir).localCheckpoint(true))
 
   /** n-gram Jaccard theta self-join (J3 candidate join, exact small-n path).
