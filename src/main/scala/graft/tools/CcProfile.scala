@@ -10,8 +10,9 @@ object CcProfile {
     sys.env.get("SPARK_GRAFT_DUALRUN").foreach(v =>
       spark.conf.set("spark.sql.analyzer.singlePassResolver.dualRunWithLegacy", v))
     import spark.implicits._
+    val nBase = if (args.nonEmpty) args(0).toLong else 40000L
     val corpus = ConversationGen.corpus(spark,
-      ConversationGen.CorpusSpec(40000, 60, 400)).persist()
+      ConversationGen.CorpusSpec(nBase, 60, 400)).persist()
     corpus.count()
     val cfg = DedupConfig.balanced
     val r = Pipeline.runPipelined(corpus, cfg); r.clusters.count()

@@ -36,4 +36,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.forall(_.cluster_id == "n000"))
     assert(out.forall(_.cluster_size == 41L))
   }
+
+  test("contraction path (edges over budget, forest under) agrees exactly") {
+    // chain: 82 symmetric edges > cap 60 ≥ 41 forest edges → the partition-
+    // local union-find contraction runs, then finishes driver-local
+    val chain = (0 until 40).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val viaContraction = ConnectedComponents
+      .cluster(edgesDf(chain), driverLocalMaxEdges = 60)
+      .collect().map(c => (c.conv_id, c.cluster_id, c.cluster_size)).toSet
+    val local = ConnectedComponents.cluster(edgesDf(chain))
+      .collect().map(c => (c.conv_id, c.cluster_id, c.cluster_size)).toSet
+    assert(viaContraction == local)
+    assert(viaContraction.forall(t => t._2 == "n000" && t._3 == 41L))
+  }
 }
