@@ -338,6 +338,35 @@ object StreamingDedup {
       }.start()
   }
 
+  /**
+   * Offline compaction of the append-only incremental stores (the Iceberg
+   * `rewrite_data_files`/MERGE analog for the parquet seam): the fingerprint
+   * log collapses to the latest row per conversation, the band table is
+   * rebuilt from exactly those fingerprints (dropping stale generations'
+   * band rows — they only cost extra candidate ids, but a long-running
+   * stream should shed them periodically), and the pairs table dedupes.
+   * Run it between micro-batch windows (e.g. from a maintenance trigger);
+   * all inputs are materialized before their table is overwritten.
+   */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   provider: graft.sources.TableProvider,
+                   storeTbl: String, pairsTbl: String,
+                   cfg: DedupConfig = DedupConfig.balanced): Unit = {
+    val bandsTbl = s"${storeTbl}_bands"
+    if (provider.exists(spark, storeTbl)) {
+      val latest = latestPerConv(provider.read(spark, storeTbl))
+        .localCheckpoint(true)
+      provider.write(latest, storeTbl)
+      val bands = bandRows(latest, cfg).localCheckpoint(true)
+      provider.write(bands, bandsTbl)
+    }
+    if (provider.exists(spark, pairsTbl)) {
+      val pairs = provider.read(spark, pairsTbl)
+        .dropDuplicates("conv_a", "conv_b").localCheckpoint(true)
+      provider.write(pairs, pairsTbl)
+    }
+  }
+
   /** Watermarked sliding-window turn-rate aggregation (event-time windows —
     * the streaming analog of the per-stage funnel metrics). */
   def turnRates(turns: DataFrame): DataFrame =

@@ -199,6 +199,22 @@ class StreamingSpec extends SparkSpec {
       val c2 = provider.read(spark, "fp_store").filter($"conv_id" === "c2")
         .orderBy($"n_turns".desc).select($"n_turns").as[Int].collect()
       assert(c2.toSeq == Seq(2, 1), "fp log keeps both generations, latest first by n_turns")
+
+      // offline compaction: log collapses to latest-per-conv, band table is
+      // rebuilt from exactly those fingerprints, pairs stay unique — and the
+      // handoff keeps working against the compacted store
+      StreamingDedup.compactStore(spark, provider, "fp_store", "dup_pairs", cfg)
+      val nConvs = 5L // c1..c5
+      assert(provider.read(spark, "fp_store").count() == nConvs)
+      assert(provider.read(spark, "fp_store")
+        .filter($"conv_id" === "c2").select($"n_turns").as[Int].head() == 2)
+      assert(provider.read(spark, "fp_store_bands").count() == nConvs * keysPerConv)
+      input.addData(turn("c6", 0, text(5000))) // dup of c2's base turn 0...
+      q.processAllAvailable()
+      val pairs2 = provider.read(spark, "dup_pairs")
+        .select($"conv_a", $"conv_b").as[(String, String)].collect().toSeq
+      assert(pairs2.contains(("c2", "c6")),
+        s"handoff must keep pairing against the compacted store: $pairs2")
     } finally q.stop()
   }
 
