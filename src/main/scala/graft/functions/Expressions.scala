@@ -41,6 +41,9 @@ object Expr0 {
   def minhashEst(a: ArrayData, b: ArrayData): Double =
     TextKernel.minhashEstimate(a.toLongArray(), b.toLongArray())
 
+  def minhashEst32(a: ArrayData, b: ArrayData): Double =
+    TextKernel.minhashEstimate32(a.toIntArray(), b.toIntArray())
+
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int), Array[Double]]()
 
@@ -208,6 +211,22 @@ case class MinhashEstExpr(left: Expression, right: Expression)
   override def prettyName: String = "minhash_est"
 }
 
+/** minhash_est32(a, b): b-bit minwise estimate over 32-bit-truncated
+  * signature components (TextKernel.minhashEstimate32) — lets the candidate
+  * join ship array<int> instead of array<long> per endpoint, halving the
+  * dominant shuffle's bytes with a 2⁻³² per-position false-match bound. */
+case class MinhashEst32Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Expr0.minhashEst32(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Expr0.minhashEst32($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinhashEst32Expr =
+    copy(left = l, right = r)
+  override def prettyName: String = "minhash_est32"
+}
+
 /** Column-API facade + SQL registration for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
@@ -224,6 +243,8 @@ object GraftFunctions {
     column(DotArr(expression(a), expression(b)))
   def minhash_est(a: Column, b: Column): Column =
     column(MinhashEstExpr(expression(a), expression(b)))
+  def minhash_est32(a: Column, b: Column): Column =
+    column(MinhashEst32Expr(expression(a), expression(b)))
   def hyperplane_sig(c: Column, nPlanes: Int = 8, seed: Long = 7L): Column =
     column(HyperplaneSig(expression(c), nPlanes, seed))
 
@@ -236,6 +257,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head, 5, 128, 123L), "scala_udf")
     reg.createOrReplaceTempFunction("dot_arr", es => DotArr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_est", es => MinhashEstExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_est32", es => MinhashEst32Expr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_sig", es => HyperplaneSig(es.head, 8, 7L), "scala_udf")
   }
 }

@@ -133,6 +133,20 @@ object TextKernel {
     eq.toDouble / n
   }
 
+  /** b-bit minwise variant (Li & König, "b-Bit Minwise Hashing", WWW 2010)
+    * over 32-bit-truncated signature components: position equality of the
+    * kept 32 bits estimates full-component equality with false-match
+    * probability 2⁻³² per position — vanishing against the 1/numPerms
+    * estimate granularity, while HALVING the bytes a candidate join must
+    * shuffle per endpoint. Same contract as [[minhashEstimate]]. */
+  def minhashEstimate32(sa: Array[Int], sb: Array[Int]): Double = {
+    val n = math.min(sa.length, sb.length)
+    if (n == 0) return 0.0
+    var eq = 0; var i = 0
+    while (i < n) { if (sa(i) == sb(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
   /**
    * LSH band keys: signature split into b bands of r rows, each band hashed
    * to one 64-bit key mixed with the band index (so identical row values in

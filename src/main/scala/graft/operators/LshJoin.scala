@@ -44,6 +44,7 @@ object LshJoin {
 
   case class CapStats(totalBuckets: Long, pairedBuckets: Long, saltedBuckets: Long)
 
+
   /** Exploded (conv_id, band_id, band_key) table — deliberately array-free. */
   private def bandTable(sigs: Dataset[DocSig]): DataFrame =
     sigs.select(col("conv_id"),
@@ -98,6 +99,14 @@ object LshJoin {
         sum(when(col("src") === SrcLsh && col("rep") && col("bsz") >= 2, 1L).otherwise(0L)).as("paired_buckets"),
         sum(when(col("src") === SrcLsh && col("rep") && col("bsz") > cap, 1L).otherwise(0L)).as("salted_buckets")))
       .getOrElse(withSz)
+    // Note on the x/y self-join below: Catalyst's relation dedup re-plans
+    // the right side with fresh exprIds and column pruning specializes the
+    // two subtrees, so their band-table exchanges never canonicalize equal
+    // and the explode→exchange→window chain plans twice. An eager
+    // localCheckpoint of this table was measured SLOWER at 100k docs (the
+    // dup-dense corpus keeps most exploded rows in ≥2-member buckets, so
+    // caching costs more than the duplicated chain) — the duplication is
+    // parallel work, not serial floor, and stays.
     val b2 = sizedObs.filter(col("bsz") >= 2)
       .withColumn("n_salts", ceil(col("bsz").cast("double") / cap).cast("int"))
       .withColumn("salt",
@@ -164,7 +173,7 @@ object LshJoin {
     // weakest detectable transform (J ≈ 0.42) collides in ~11 bands, while
     // sub-threshold background pairs (J ≈ 0.1) expect 0.64 — requiring ≥2
     // distinct band collisions for LSH-only pairs removes the ~65% one-hit
-    // majority BEFORE the signature join ships two 1 KB minhash arrays per
+    // majority BEFORE the signature join ships two truncated signatures per
     // pair (measured: 2.13M → 0.74M pairs at 40k docs; the est join was
     // the candidate stage's dominant shuffle). Bundle hits (exact-variant
     // evidence) and salted-bucket bridges (connectivity) are exempt.
@@ -192,13 +201,31 @@ object LshJoin {
         when($"has_bridge" === 1, "bridge")))
       .drop("lsh_hits", "has_bundle", "has_bridge")
 
-    // signatures join in only now — per unique pair, not per band row
-    val mh = sigs.select($"conv_id", $"minhash")
+    // Signatures join in only now — per unique pair, not per band row — and
+    // as 32-bit-truncated components (b-bit minwise hashing, Li & König WWW
+    // 2010): equality of the kept high-32 bits false-matches a position with
+    // p = 2⁻³² (vanishing against the 1/numPerms estimate granularity), and
+    // array<int> HALVES the bytes of the candidate stage's dominant shuffle
+    // (the conv_b exchange ships one signature per surviving pair). The
+    // LOW 32 bits are kept (robust even for low-entropy integer inputs,
+    // where high bits are constant); the shiftleft/shiftright pair
+    // sign-extends so the int cast is ANSI-safe.
+    // SHUFFLE_HASH on the signature side: a sort-merge join must SORT the
+    // fat (pair+signature) stream — measured 2.1 GB of sort spill at 100k
+    // docs — while a shuffled hash join builds its map on the narrow
+    // signature shard (|docs|·~550 B / shuffle-partition, the quantity
+    // shuffle.partitions is sized by at scale) and streams the fat side
+    // unsorted; the join's hash partitioning still feeds the cap windows.
+    val mh = sigs.select($"conv_id",
+      transform($"minhash",
+        v => shiftright(shiftleft(v, 32), 32).cast("int")).as("mh32"))
     val scored = uniquePairs
-      .join(mh.select($"conv_id".as("conv_a"), $"minhash".as("ma")), "conv_a")
-      .join(mh.select($"conv_id".as("conv_b"), $"minhash".as("mb")), "conv_b")
+      .join(mh.select($"conv_id".as("conv_a"), $"mh32".as("ma"))
+        .hint("shuffle_hash"), "conv_a")
+      .join(mh.select($"conv_id".as("conv_b"), $"mh32".as("mb"))
+        .hint("shuffle_hash"), "conv_b")
       .withColumn("minhash_est",
-        graft.functions.GraftFunctions.minhash_est(col("ma"), col("mb")))
+        graft.functions.GraftFunctions.minhash_est32(col("ma"), col("mb")))
       // F1 threshold predicate; bundle hits always survive (exact-dup path),
       // and so do BRIDGES — a bridge is the only connectivity between the
       // salted sub-buckets of an over-cap family (salt is conv_id-keyed, so

@@ -49,6 +49,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(sig.length == 128)
   }
 
+  test("minhash_est32 equals minhash_est on full-entropy signatures; low-32 truncation") {
+    import spark.implicits._
+    // realistic signatures: xxhash64-style full-entropy values
+    val a = Array.tabulate(128)(i => graft.functions.Hashing.mix64(i.toLong))
+    val b = Array.tabulate(128)(i =>
+      if (i < 96) a(i) else graft.functions.Hashing.mix64(1000L + i))
+    val df = Seq((a, b)).toDF("a", "b")
+    val trunc = (c: org.apache.spark.sql.Column) =>
+      transform(c, v => shiftright(shiftleft(v, 32), 32).cast("int"))
+    val est64 = df.select(GraftFunctions.minhash_est($"a", $"b")).head().getDouble(0)
+    val est32 = df.select(GraftFunctions.minhash_est32(trunc($"a"), trunc($"b")))
+      .head().getDouble(0)
+    assert(est64 == 96.0 / 128)
+    assert(est32 == est64, "b-bit truncation must agree on full-entropy input")
+    // adversarial low-entropy input: values share high bits, differ in low —
+    // the kept LOW 32 bits still separate them
+    val lo1 = Array.tabulate(128)(i => 1000L + i)
+    val lo2 = Array.tabulate(128)(i => 2000L + i)
+    val d2 = Seq((lo1, lo2)).toDF("a", "b")
+    assert(d2.select(GraftFunctions.minhash_est32(trunc($"a"), trunc($"b")))
+      .head().getDouble(0) == 0.0)
+    // kernel contract: empty input → 0.0, not a throw
+    assert(TextKernel.minhashEstimate32(Array.empty, Array.empty) == 0.0)
+  }
+
   test("jaccard_sorted expression equals kernel") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L, 6L))).toDF("a", "b")
