@@ -49,36 +49,75 @@ object SuffixSpans {
     else suffixArrayBoxed(s)
   }
 
-  /** Packed-long doubling: one Arrays.sort(long[]) per round, zero boxing. */
+  /** Packed-long first round (arbitrary value range) + two-pass LSD
+    * counting-sort doubling rounds (ranks live in [0, n], so each round is
+    * O(n) instead of an O(n log n) comparison sort — the span kernel runs
+    * once per inconclusive verify pair, ~90% of that stage's CPU, and this
+    * sort was its hot loop). Zero boxing anywhere. */
   private def suffixArrayPacked(s: Array[Int], minV: Int): Array[Int] = {
     val n = s.length
     val rank = new Array[Int](n)
     var i = 0
     while (i < n) { rank(i) = s(i) - minV; i += 1 }
-    val keys = new Array[Long](n)
     val sa = new Array[Int](n)
+    val ord = new Array[Int](n)
     val tmp = new Array[Int](n)
+    val cnt = new Array[Int](n + 2)
+    // round 0: order by raw value via one packed sort (value range can
+    // exceed n, so counting is not applicable yet)
+    val keys = new Array[Long](n)
+    i = 0
+    while (i < n) { keys(i) = (rank(i).toLong << PackBits) | i.toLong; i += 1 }
+    java.util.Arrays.sort(keys)
+    i = 0
+    while (i < n) { sa(i) = (keys(i) & (PackMax - 1)).toInt; i += 1 }
+    tmp(sa(0)) = 0
+    i = 1
+    while (i < n) {
+      tmp(sa(i)) = tmp(sa(i - 1)) +
+        (if ((keys(i) >>> PackBits) != (keys(i - 1) >>> PackBits)) 1 else 0)
+      i += 1
+    }
+    System.arraycopy(tmp, 0, rank, 0, n)
     var k = 1
-    var done = false
-    while (!done) {
+    while (rank(sa(n - 1)) != n - 1) {
+      // r2(i) = rank(i+k)+1 (0 past the end) ∈ [0, n]; rank(i) ∈ [0, n-1]
+      // pass 1: stable counting sort of all indices by r2
+      java.util.Arrays.fill(cnt, 0, n + 2, 0)
+      i = 0
+      while (i < n) { cnt((if (i + k < n) rank(i + k) + 1 else 0) + 1) += 1; i += 1 }
+      i = 1
+      while (i < n + 2) { cnt(i) += cnt(i - 1); i += 1 }
       i = 0
       while (i < n) {
         val r2 = if (i + k < n) rank(i + k) + 1 else 0
-        keys(i) = (rank(i).toLong << (2 * PackBits)) | (r2.toLong << PackBits) | i.toLong
+        ord(cnt(r2)) = i; cnt(r2) += 1
         i += 1
       }
-      java.util.Arrays.sort(keys)
+      // pass 2: stable counting sort of ord by rank → sa
+      java.util.Arrays.fill(cnt, 0, n + 1, 0)
       i = 0
-      while (i < n) { sa(i) = (keys(i) & (PackMax - 1)).toInt; i += 1 }
+      while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+      i = 1
+      while (i < n + 1) { cnt(i) += cnt(i - 1); i += 1 }
+      i = 0
+      while (i < n) {
+        val x = ord(i)
+        sa(cnt(rank(x))) = x; cnt(rank(x)) += 1
+        i += 1
+      }
+      // re-rank: adjacent (rank, r2) comparison
       tmp(sa(0)) = 0
       i = 1
       while (i < n) {
-        tmp(sa(i)) = tmp(sa(i - 1)) +
-          (if ((keys(i) >>> PackBits) != (keys(i - 1) >>> PackBits)) 1 else 0)
+        val x = sa(i); val y = sa(i - 1)
+        val r2x = if (x + k < n) rank(x + k) + 1 else 0
+        val r2y = if (y + k < n) rank(y + k) + 1 else 0
+        tmp(x) = tmp(y) + (if (rank(x) != rank(y) || r2x != r2y) 1 else 0)
         i += 1
       }
       System.arraycopy(tmp, 0, rank, 0, n)
-      if (rank(sa(n - 1)) == n - 1) done = true else k <<= 1
+      k <<= 1
     }
     sa
   }

@@ -50,9 +50,14 @@ object Verification {
     // anyway (an explicit pair_key spread here was pure wasted exchange),
     // and per-task skew is already bounded by the per-doc candidate cap —
     // a hot conversation contributes at most maxPairsPerDoc pairs per side.
+    // SHUFFLE_HASH on the payload side: sort-merge would SORT the fat
+    // (pair + full payload) stream — measured 2.0 GB of sort spill per run
+    // at 100k docs — while a hash join builds on the per-doc payload shard
+    // (|docs|·payload / shuffle-partition) and streams the pair side
+    // unsorted into the evidence map.
     val joined = pairs.toDF()
-      .join(side("_a"), col("conv_a") === col("conv_id_a"))
-      .join(side("_b"), col("conv_b") === col("conv_id_b"))
+      .join(side("_a").hint("shuffle_hash"), col("conv_a") === col("conv_id_a"))
+      .join(side("_b").hint("shuffle_hash"), col("conv_b") === col("conv_id_b"))
 
     val topK = cfg.patchTopK
     val strictJ = cfg.tierAJaccard
