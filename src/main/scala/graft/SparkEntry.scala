@@ -511,6 +511,39 @@ object SparkEntry {
            sum(hit)::BIGINT AS n_detected,
            round(sum(hit)::DOUBLE / count(*), 4) AS detection_rate
          FROM j GROUP BY 1, 2""",
+    // CC oracle: transitive closure over the dumped A/B edges (recursive
+    // CTE), min-label per component — pure SQL replay of the min-label
+    // union-find/propagation contract (§2.12)
+    "flag_dedup_clusters" ->
+      """WITH RECURSIVE e AS (
+           SELECT conv_a AS a, conv_b AS b
+           FROM read_parquet('{GRAFT_OUT}/flag_dedup_tiers/*.parquet')
+           WHERE tier IN ('A', 'B')),
+         sym AS (
+           SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         reach(src, dst) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+         closure AS (
+           SELECT src, dst FROM reach UNION SELECT src, src AS dst FROM reach),
+         lbl AS (
+           SELECT src AS conv_id, min(dst) AS cluster_id FROM closure GROUP BY 1)
+         SELECT l.conv_id, l.cluster_id, c.cluster_size
+         FROM lbl l JOIN (
+           SELECT cluster_id, count(*)::BIGINT AS cluster_size
+           FROM lbl GROUP BY 1) c USING (cluster_id)""",
+    // top-N hamming pairs replayed over the dumped fingerprints: verifies
+    // the J8 sweep's join/order/limit logic independently of the simhash
+    // kernel (bit_count(xor) is DuckDB's native popcount)
+    "simhash_near_pairs" ->
+      """WITH f AS (
+           SELECT doc_id, simhash
+           FROM read_parquet('{GRAFT_OUT}/simhash_docs/*.parquet'))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM f a JOIN f b ON a.doc_id < b.doc_id
+         ORDER BY hamming, doc_a, doc_b LIMIT 20""",
     "conv_profile" ->
       """WITH a AS (
            SELECT conv_id, count(*) AS n_turns,

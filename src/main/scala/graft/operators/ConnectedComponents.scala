@@ -46,10 +46,9 @@ object ConnectedComponents {
   /** edges: DataFrame with (conv_a, conv_b). Returns (conv_id, cluster_id,
     * cluster_size). `edgeCountHint`: an UPPER BOUND on the edge count known
     * by the caller (e.g. from an observation that already rode a checkpoint
-    * action) — when it fits the driver-local budget, the dedup/symmetrize/
-    * checkpoint/count pre-pass (three scheduled jobs of pure serial latency
-    * on small data) is skipped and the raw edges collect straight into
-    * union-find, which needs neither dedup nor symmetry. */
+    * action) — when it fits the driver-local budget, even the contraction
+    * pass + its count barrier are skipped and the raw edges collect straight
+    * into union-find, which needs neither dedup nor symmetry. */
   def cluster(edges: DataFrame, maxIters: Int = 25,
               driverLocalMaxEdges: Long = DriverLocalMaxEdges,
               edgeCountHint: Option[Long] = None): Dataset[ClusterRow] = {
@@ -59,32 +58,25 @@ object ConnectedComponents {
     if (edgeCountHint.exists(_ <= driverLocalMaxEdges))
       return clusterLocal(edges.select(col("conv_a"), col("conv_b")))
 
-    val symRaw = edges.select(col("conv_a").as("src"), col("conv_b").as("dst"))
-      .unionAll(edges.select(col("conv_b").as("src"), col("conv_a").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    val nEdges = symRaw.count()
-    if (nEdges <= driverLocalMaxEdges) return clusterLocal(symRaw)
-
-    // adaptive parallelism: size partitions to ~100k edges each (floor 1)
-    val parts = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, (nEdges / 100000L).toInt + 1))
-    val sym0 = symRaw.repartition(parts, col("src")).localCheckpoint(true)
-
-    // PARTITION-LOCAL CONTRACTION (one narrow pass, zero shuffles): union-
-    // find each partition's edges and emit one (root, vertex) spanning-tree
-    // edge per distinct vertex seen. Every original edge lives in some
+    // PARTITION-LOCAL CONTRACTION FIRST (one narrow pass, ZERO shuffles):
+    // union-find each partition's edges and emit one (root, vertex)
+    // spanning-tree edge per distinct vertex seen. Union-find needs neither
+    // dedup nor symmetry nor any particular co-partitioning, so the pass
+    // runs directly on the INCOMING edge partitioning — the
+    // symmetrize+distinct (a 2×-edges shuffle) and its count barrier that
+    // used to precede contraction bought nothing the per-partition
+    // union-find doesn't already do. Every original edge lives in some
     // partition, so the union of the per-partition forests generates exactly
-    // the original connectivity — but dense near-dup families (the dominant
+    // the original connectivity — and dense near-dup families (the dominant
     // shape here: a boilerplate family of m members contributes O(m·cap)
     // pairs) collapse to O(m) forest edges. Measured at the 2.3M-turn gate
     // corpus: 934k A/B edges → the contracted forest fits the driver-local
-    // budget, turning a ~15 s multi-iteration join loop (≥3 shuffles ×
-    // ~5 iterations of pure stage-scheduling latency on small data) into
-    // one collect + union-find. At 100-TB scale the forest is still huge →
-    // the iterative min-label loop below runs, on a graph that contraction
-    // has already shrunk by the family density factor.
-    val forest = sym0.as[(String, String)].mapPartitions { it =>
+    // budget, turning a ~15 s multi-iteration join loop into one narrow
+    // pass + collect + union-find. At 100-TB scale the forest is still
+    // huge → the iterative min-label loop below runs, on a graph that
+    // contraction has already shrunk by the family density factor.
+    val raw = edges.select(col("conv_a").as("src"), col("conv_b").as("dst"))
+    val forest = raw.as[(String, String)].mapPartitions { it =>
       val parent = scala.collection.mutable.HashMap[String, String]()
       def find(x: String): String = {
         var r = x

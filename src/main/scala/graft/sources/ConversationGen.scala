@@ -218,7 +218,15 @@ object ConversationGen {
         seed ^ Hashing.mix64(pairIdx), boilerplateBoost = true, familyOverride = fam)
         .map(t => t.copy(conv_id = id))
     }
-    base.union(dups).union(negs).as[Turn]
+    // Deliver the corpus hash-distributed by conv_id — the layout contract
+    // of the production input (an Iceberg/parquet table bucketed by
+    // conv_id, so every conversation's turns are co-located). The first
+    // pipeline stage's groupBy(conv_id) (Reassembly.assemble) and the T2
+    // profile's groupBy then ride the storage partitioning with NO
+    // full-corpus text exchange; the one-off shuffle here happens at
+    // generation/ingest time, like the bucketed table write it stands for.
+    base.union(dups).union(negs)
+      .repartition(org.apache.spark.sql.functions.col("conv_id")).as[Turn]
   }
 
   /** gtPairs as a Dataset (test fixture). */

@@ -86,6 +86,24 @@ class PlanCheckSpec extends SparkSpec {
     assert(shuffles.size <= 8, s"candidate plan ran ${shuffles.size} shuffle stages ($shuffles):\n$p")
   }
 
+  test("reassembly rides the corpus's conv_id partitioning (zero-exchange groupBy)") {
+    // The generator delivers the corpus hash-distributed by conv_id (the
+    // conv-bucketed input-table layout); assemble's groupBy must reuse that
+    // partitioning instead of re-shuffling the full corpus text — the
+    // aggregate sits DIRECTLY on the cached scan with no Exchange between.
+    val turns = sources.ConversationGen.corpus(spark, sources.ConversationGen.smoke).persist()
+    turns.count()
+    try {
+      val docs = operators.Reassembly.assemble(turns)
+      docs.count()
+      val p = planString(docs.toDF())
+      val aboveCache = p.linesIterator
+        .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+      assert(!aboveCache.contains("Exchange"),
+        s"assemble re-shuffled a conv_id-partitioned corpus:\n$aboveCache")
+    } finally turns.unpersist()
+  }
+
   test("semi and anti joins compile to semi/anti join operators") {
     val semi = planString(SparkEntry.queries("q_semi_join")(spark, sf))
     assert(semi.contains("LeftSemi"), s"no semi join:\n$semi")
