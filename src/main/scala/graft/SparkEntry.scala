@@ -511,6 +511,74 @@ object SparkEntry {
            sum(hit)::BIGINT AS n_detected,
            round(sum(hit)::DOUBLE / count(*), 4) AS detection_rate
          FROM j GROUP BY 1, 2""",
+    // Full SQL replay of the LSH candidate join over the dumped signature
+    // surface: band-key collisions → ≥2-band-hit prefilter (bundle-exempt)
+    // → b-bit-minwise estimate filter at 0.5 → per-doc top-64 cap windows.
+    // Pair orientation replicates the join's STRING comparison of conv ids;
+    // floor(x*1e6+0.5)/1e6 replicates Spark's HALF_UP round(est, 6) (est is
+    // always a multiple of 1/128, exact in binary). No salted buckets at
+    // this corpus size, so the bridge path contributes nothing (the Spark
+    // side would emit source='...bridge' rows and fail the compare if that
+    // ever changed).
+    "minhash_docs_lsh" ->
+      """WITH bands AS (
+           SELECT doc_id, band_key
+           FROM read_parquet('{GRAFT_OUT}/minhash_doc_bands/*.parquet')),
+         vars AS (
+           SELECT doc_id, v_id, v_hash
+           FROM read_parquet('{GRAFT_OUT}/minhash_doc_variants/*.parquet')),
+         sigs AS (
+           SELECT doc_id, pos, m32
+           FROM read_parquet('{GRAFT_OUT}/minhash_doc_sigs32/*.parquet')),
+         lsh AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS lsh_hits
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key
+            AND a.doc_id::VARCHAR < b.doc_id::VARCHAR
+           GROUP BY 1, 2),
+         bund AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM vars a JOIN vars b
+             ON a.v_id = b.v_id AND a.v_hash = b.v_hash
+            AND a.doc_id::VARCHAR < b.doc_id::VARCHAR),
+         uniq AS (
+           SELECT coalesce(l.doc_a, bu.doc_a) AS doc_a,
+                  coalesce(l.doc_b, bu.doc_b) AS doc_b,
+                  coalesce(l.lsh_hits, 0) AS lsh_hits,
+                  CASE WHEN bu.doc_a IS NOT NULL THEN 1 ELSE 0 END AS has_bundle
+           FROM lsh l FULL OUTER JOIN bund bu
+             ON l.doc_a = bu.doc_a AND l.doc_b = bu.doc_b),
+         filt AS (
+           SELECT * FROM uniq WHERE has_bundle = 1 OR lsh_hits >= 2),
+         eqs AS (
+           SELECT f.doc_a, f.doc_b, min(f.lsh_hits) AS lsh_hits,
+                  min(f.has_bundle) AS has_bundle,
+                  sum(CASE WHEN sa.m32 = sb.m32 THEN 1 ELSE 0 END) AS eq,
+                  count(*) AS n
+           FROM filt f
+           JOIN sigs sa ON sa.doc_id = f.doc_a
+           JOIN sigs sb ON sb.doc_id = f.doc_b AND sb.pos = sa.pos
+           GROUP BY 1, 2),
+         surv AS (
+           SELECT doc_a, doc_b, lsh_hits, has_bundle,
+                  eq::DOUBLE / n AS est_raw,
+                  floor(eq * 1000000.0 / n + 0.5) / 1000000.0 AS minhash_est,
+                  CASE WHEN lsh_hits > 0 AND has_bundle = 1 THEN 'lsh+bundle'
+                       WHEN lsh_hits > 0 THEN 'lsh' ELSE 'bundle' END AS source,
+                  doc_a::VARCHAR || '|' || doc_b::VARCHAR AS pair_key
+           FROM eqs
+           WHERE eq::DOUBLE / n >= 0.5 OR has_bundle = 1),
+         rk AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY doc_a ORDER BY
+               greatest(est_raw, CASE WHEN has_bundle = 1 THEN 1.0 ELSE 0.0 END)
+                 DESC, pair_key) AS rk_a,
+             row_number() OVER (PARTITION BY doc_b ORDER BY
+               greatest(est_raw, CASE WHEN has_bundle = 1 THEN 1.0 ELSE 0.0 END)
+                 DESC, pair_key) AS rk_b
+           FROM surv)
+         SELECT doc_a, doc_b, minhash_est, source
+         FROM rk WHERE rk_a <= 64 OR rk_b <= 64""",
     // CC oracle: transitive closure over the dumped A/B edges (recursive
     // CTE), min-label per component — pure SQL replay of the min-label
     // union-find/propagation contract (§2.12)

@@ -24,6 +24,14 @@ object Verify {
     // DuckDB-oracled as pure SQL over (gt_pairs ⋈ flag_dedup_tiers)
     graft.sources.ConversationGen.gtDataset(spark, SparkEntry.specFor(sfDir))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/gt_pairs")
+    // LSH signature-surface dumps: let minhash_docs_lsh be DuckDB-oracled
+    // as a full SQL replay of the candidate join (bands → min-band-hits →
+    // estimate filter → per-doc cap)
+    graft.operators.DocDedup.minhashLshOracleTables(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      .foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -50,15 +50,46 @@ object DocDedup {
     * ~72% of ALL pairs exceed token-Jaccard 0.5, collapsing LSH to O(n²);
     * 3-gram Jaccard separates the planted near-dups (≈0.99) from the
     * background (<0.05), so the band join prunes like it should.) */
-  def minhashLshCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** The exact config minhashLshCandidates runs with — shared with the
+    * oracle dump tables below so the DuckDB replay sees the same surface. */
+  private[graft] val docLshCfg: DedupConfig =
+    DedupConfig.balanced.copy(shingleK = 3, simThreshold = 0.5)
+
+  private def docSigs(spark: SparkSession, docs: DataFrame) = {
     import spark.implicits._
-    val cfg = DedupConfig.balanced.copy(shingleK = 3, simThreshold = 0.5)
     val asDocs = docs.select(col("doc_id").cast("string").as("conv_id"),
       lit(1).as("n_turns"), col("text").as("doc_text")).as[graft.model.ConvDoc]
-    val sigs = Signatures.compute(asDocs, cfg)
-    LshJoin.candidates(sigs, cfg)
+    Signatures.compute(asDocs, docLshCfg)
+  }
+
+  def minhashLshCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    LshJoin.candidates(docSigs(spark, docs), docLshCfg)
       .select($"conv_a".cast("long").as("doc_a"), $"conv_b".cast("long").as("doc_b"),
         round($"minhash_est", 6).as("minhash_est"), $"source")
+  }
+
+  /** Oracle dump tables: the signature surface the LSH candidate join
+    * consumes — per-band keys, bundle variants, and the 32-bit-truncated
+    * signature components — so the ENTIRE join pipeline (band collisions →
+    * min-band-hits prefilter → b-bit estimate filter → per-doc cap windows)
+    * can be replayed as pure SQL in DuckDB and compared hash-exact against
+    * `minhash_docs_lsh`. */
+  def minhashLshOracleTables(spark: SparkSession,
+                             docs: DataFrame): Seq[(String, DataFrame)] = {
+    val sigs = docSigs(spark, docs).select(
+      col("conv_id").cast("long").as("doc_id"),
+      col("minhash"), col("bands"), col("simhash_bundle"))
+    Seq(
+      "minhash_doc_bands" -> sigs.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_id", "band_key"))),
+      "minhash_doc_variants" -> sigs.select(col("doc_id"),
+        posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash"))),
+      // the same low-32-bit sign-extended truncation the scoring join ships
+      "minhash_doc_sigs32" -> sigs
+        .select(col("doc_id"), posexplode(col("minhash")).as(Seq("pos", "m64")))
+        .select(col("doc_id"), col("pos"),
+          shiftright(shiftleft(col("m64"), 32), 32).cast("int").as("m32")))
   }
 
   /** Embedding LSH bucketing (random-hyperplane signs): bucket by sign
