@@ -44,7 +44,7 @@ object ScalingBench {
     threads.toDouble * iters / ((System.nanoTime() - t0) / 1e9)
   }
 
-  private def timedRun(cpus: Int, nBase: Long): (Long, Double) = {
+  private def timedRun(cpus: Int, nBase: Long): (Long, Double, Map[String, Double]) = {
     val spark = Bench.session(cpus.toString)
     try {
       val spec = sources.ConversationGen.CorpusSpec(nBase, 60, 400)
@@ -55,7 +55,9 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val result = operators.Pipeline.runPipelined(corpus, model.DedupConfig.balanced)
       result.clusters.count()
-      (nTurns, (System.nanoTime() - t0) / 1e9)
+      val stages = result.metrics.filter(_.duration_ms >= 0)
+        .map(m => m.stage -> m.duration_ms / 1000.0).toMap
+      (nTurns, (System.nanoTime() - t0) / 1e9, stages)
     } finally spark.stop()
   }
 
@@ -106,16 +108,29 @@ object ScalingBench {
     val secL = collection.mutable.ArrayBuffer[Double]()
     val dropS = collection.mutable.ArrayBuffer[Double]()
     val dropL = collection.mutable.ArrayBuffer[Double]()
+    val stagesS = collection.mutable.ArrayBuffer[Map[String, Double]]()
+    val stagesL = collection.mutable.ArrayBuffer[Map[String, Double]]()
     var nTurns = 0L
     (1 to reps + discard).foreach { i =>
-      val (n1, s1) = timedRun(small, nBase); nTurns = n1
-      val (n2, s2) = timedRun(large, nBase); require(n1 == n2)
-      if (i > discard) { secS += s1; secL += s2 } else { dropS += s1; dropL += s2 }
+      val (n1, s1, st1) = timedRun(small, nBase); nTurns = n1
+      val (n2, s2, st2) = timedRun(large, nBase); require(n1 == n2)
+      if (i > discard) { secS += s1; secL += s2; stagesS += st1; stagesL += st2 }
+      else { dropS += s1; dropL += s2 }
     }
+    // per-stage medians at each level: every scaling run self-reports its
+    // decomposition, so a ratio regression is attributable without a
+    // separate profiling session
+    def stageMedians(ms: Seq[Map[String, Double]]): Seq[(String, Double)] =
+      ms.flatMap(_.keys).distinct.sorted.map { k =>
+        k -> median(ms.map(_.getOrElse(k, 0.0)))
+      }
+    def stageJson(ms: Seq[Map[String, Double]]): String =
+      stageMedians(ms).map { case (k, v) => s""""$k":${f"$v%.1f"}""" }
+        .mkString("{", ",", "}")
     val mS = median(secS.toSeq); val mL = median(secL.toSeq)
     val thrS = nTurns / mS; val thrL = nTurns / mL
     val eff = (thrL / thrS) / factor
     val effVsHw = eff / hwEff
-    println(s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_turns":$nTurns,"parallelism_small":$small,"parallelism_large":$large,"reps":$reps,"sec_small":${f"$mS%.2f"},"sec_large":${f"$mL%.2f"},"turns_per_sec_small":${f"$thrS%.1f"},"turns_per_sec_large":${f"$thrL%.1f"},"hw_efficiency_ceiling":${f"$hwEff%.3f"},"efficiency_vs_hw":${f"$effVsHw%.3f"},"runs_small_sec":[${secS.map(s => f"$s%.1f").mkString(",")}],"runs_large_sec":[${secL.map(s => f"$s%.1f").mkString(",")}],"discarded_small_sec":[${dropS.map(s => f"$s%.1f").mkString(",")}],"discarded_large_sec":[${dropL.map(s => f"$s%.1f").mkString(",")}]}""")
+    println(s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_turns":$nTurns,"parallelism_small":$small,"parallelism_large":$large,"reps":$reps,"sec_small":${f"$mS%.2f"},"sec_large":${f"$mL%.2f"},"turns_per_sec_small":${f"$thrS%.1f"},"turns_per_sec_large":${f"$thrL%.1f"},"hw_efficiency_ceiling":${f"$hwEff%.3f"},"efficiency_vs_hw":${f"$effVsHw%.3f"},"runs_small_sec":[${secS.map(s => f"$s%.1f").mkString(",")}],"runs_large_sec":[${secL.map(s => f"$s%.1f").mkString(",")}],"discarded_small_sec":[${dropS.map(s => f"$s%.1f").mkString(",")}],"discarded_large_sec":[${dropL.map(s => f"$s%.1f").mkString(",")}],"stage_sec_small":${stageJson(stagesS.toSeq)},"stage_sec_large":${stageJson(stagesL.toSeq)}}""")
   }
 }
