@@ -13,11 +13,13 @@ import graft.model.{CandidatePair, DedupConfig, DocSig}
  *
  * Shape: explode band keys → eliminate singleton buckets → SALT over-cap
  * buckets into cap-sized sub-buckets (deterministic conv_id hash) →
- * within-sub-bucket equi-join with `a.conv_id < b.conv_id` (upper triangle)
- * + one bridge chain linking sub-bucket representatives (so a salted
- * mega-family still forms ONE connected component downstream) → per-pair
- * dedup keeping the lowest band id → join MinHash signatures back per
- * endpoint → estimate filter → per-doc output cap.
+ * within-sub-bucket pair ENUMERATION over the sorted, cap-bounded member
+ * list of each (bucket, salt) group (`a.conv_id < b.conv_id` upper
+ * triangle, emitted by a generator — no self-join, no second band-table
+ * shuffle) + one bridge chain linking sub-bucket representatives (so a
+ * salted mega-family still forms ONE connected component downstream) →
+ * per-pair dedup keeping the lowest band id → join MinHash signatures back
+ * per endpoint → estimate filter → per-doc output cap.
  *
  * Skew armor (the part the reference lacks — its giant-bucket loop at
  * ai_...AUTO.py:4037-4045 is O(bucket²) unconditionally):
@@ -99,14 +101,6 @@ object LshJoin {
         sum(when(col("src") === SrcLsh && col("rep") && col("bsz") >= 2, 1L).otherwise(0L)).as("paired_buckets"),
         sum(when(col("src") === SrcLsh && col("rep") && col("bsz") > cap, 1L).otherwise(0L)).as("salted_buckets")))
       .getOrElse(withSz)
-    // Note on the x/y self-join below: Catalyst's relation dedup re-plans
-    // the right side with fresh exprIds and column pruning specializes the
-    // two subtrees, so their band-table exchanges never canonicalize equal
-    // and the explode→exchange→window chain plans twice. An eager
-    // localCheckpoint of this table was measured SLOWER at 100k docs (the
-    // dup-dense corpus keeps most exploded rows in ≥2-member buckets, so
-    // caching costs more than the duplicated chain) — the duplication is
-    // parallel work, not serial floor, and stays.
     val b2 = sizedObs.filter(col("bsz") >= 2)
       .withColumn("n_salts", ceil(col("bsz").cast("double") / cap).cast("int"))
       .withColumn("salt",
@@ -115,26 +109,75 @@ object LshJoin {
       .select(col("conv_id"), col("bkey"), col("band_id"), col("src"),
         col("salt"), col("n_salts"))
 
-    val inBucket = b2.as("x").join(b2.as("y"),
-        col("x.bkey") === col("y.bkey") && col("x.salt") === col("y.salt") &&
-        col("x.conv_id") < col("y.conv_id"))
-      .select(col("x.conv_id").as("conv_a"), col("y.conv_id").as("conv_b"),
-        col("x.band_id").as("band_id"), col("x.src").as("src"))
+    // Within-bucket pairs by GROUPED ENUMERATION, not a self-join. A
+    // (bkey, salt) group is cap-bounded by construction, so its member
+    // list is a safe in-task object (≤ ~cap strings) and pair emission is
+    // a generator chain — while the former x/y self-join re-planned the
+    // explode→exchange→window chain per side (Catalyst relation dedup
+    // gives the right side fresh exprIds, so the two band-table exchanges
+    // never canonicalize equal) and shuffled the full band table TWICE
+    // more. The groupBy rides the sizing window's HashPartitioning(bkey)
+    // via the partitioning-subset rule, so the whole bucket phase — sizing,
+    // member grouping, pair enumeration, bridge chain — is ONE exchange
+    // wide; in the memory-bus-bound candidate stage the removed ~230 MB of
+    // band-table shuffle was the dominant remaining byte mover.
+    // band_id/src are bucket-constant (band keys mix the band index;
+    // variant keys mix v_id; key spaces disjoint whp), so min() is the
+    // same provenance the old x-side projection carried.
+    val grouped = b2.groupBy(col("bkey"), col("salt"))
+      .agg(sort_array(collect_list(col("conv_id"))).as("members"),
+        min(col("band_id")).as("band_id"), min(col("src")).as("src"))
+
+    // Spread the cap-bounded groups before enumeration: the groupBy rode
+    // the sizing window's bkey-only partitioning (zero exchange), which
+    // would leave ALL sub-buckets of a mega-family in one task — the same
+    // co-location the old self-join inherited via the subset rule. This
+    // exchange ships ONE compact row per (bkey, salt) (measured ~3% of a
+    // band-table shuffle: conv_ids appear once, sorted lists dictionary-
+    // compress) and restores (bkey, salt)-granular parallelism for the
+    // O(sz²) emission, so a 10M-member family's O(m·cap) pairs spread
+    // over m/cap tasks instead of one. The partition count is EXPLICIT:
+    // AQE sizes coalescing on the exchange's input bytes, and this input
+    // is ~30× smaller than the pair volume the generator emits from it —
+    // left to itself AQE convoys the enumeration onto a handful of tasks.
+    // Sorted members ⇒ enumerating j > i yields conv_a < conv_b directly.
+    // The generator chain stays whole-stage-codegen (posexplode + slice);
+    // a higher-order-function formulation (flatten/transform building the
+    // pair array per row) was measured ~40% more task time — interpreted
+    // per-element lambdas — and was reverted.
+    val spread = grouped.repartition(
+      items.sparkSession.sessionState.conf.numShufflePartitions,
+      col("bkey"), col("salt"))
+    val inBucket = spread
+      .select(col("band_id"), col("src"), col("members"),
+        posexplode(col("members")).as(Seq("i", "conv_a")))
+      .select(col("conv_a"),
+        explode(slice(col("members"), col("i") + lit(2),
+          size(col("members")) - col("i") - lit(1))).as("conv_b"),
+        col("band_id"), col("src"))
+      .select(col("conv_a"), col("conv_b"), col("band_id"), col("src"))
 
     // bridge chain: consecutive sub-bucket representatives of over-cap
-    // buckets (n_salts-1 extra pairs per bucket — O(bsz/cap), negligible)
-    val reps = b2.filter(col("n_salts") > 1)
-      .groupBy(col("bkey"), col("salt"))
-      .agg(min(col("conv_id")).as("conv_id"), min(col("band_id")).as("band_id"),
-        min(col("src")).as("src"))
-      .withColumn("rk", row_number().over(
+    // buckets (n_salts-1 extra pairs per bucket — O(bsz/cap), negligible).
+    // The rep of a sub-bucket is the head of its sorted member list, and
+    // its bridge partner is the NEXT salt's rep — a lead() window directly
+    // over `grouped`, which still rides the sizing exchange's bkey
+    // partitioning: sort-only, NO exchange, no rank self-join. This branch
+    // re-plans the aggregation chain (collect_list is flagged
+    // non-deterministic, so its exchange can never canonicalize equal for
+    // reuse) but reads the band table through a ReusedExchange — the
+    // duplicate is ~0.5 s of parallel work, not a second band shuffle.
+    // No over-cap filter is needed: a bucket with a single sub-bucket has
+    // no lead partner and emits nothing.
+    val head = element_at(col("members"), 1)
+    val bridges = grouped
+      .withColumn("next_conv", lead(head, 1).over(
         Window.partitionBy(col("bkey")).orderBy(col("salt"))))
-    val bridges = reps.as("x").join(reps.as("y"),
-        col("x.bkey") === col("y.bkey") && col("y.rk") === col("x.rk") + 1)
+      .filter(col("next_conv").isNotNull)
       .select(
-        least(col("x.conv_id"), col("y.conv_id")).as("conv_a"),
-        greatest(col("x.conv_id"), col("y.conv_id")).as("conv_b"),
-        col("x.band_id").as("band_id"), (col("x.src") + lit(2)).as("src"))
+        least(head, col("next_conv")).as("conv_a"),
+        greatest(head, col("next_conv")).as("conv_b"),
+        col("band_id"), (col("src") + lit(2)).as("src"))
       .filter(col("conv_a") =!= col("conv_b"))
 
     inBucket.unionByName(bridges)
