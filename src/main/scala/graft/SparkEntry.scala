@@ -137,7 +137,12 @@ object SparkEntry {
     //      oracle — MinHash/LSH not expressible in DuckDB; rows-only) -----
     "flag_dedup_candidates" -> ((s, d) => pipelineFor(s, d).candidates.toDF()), // J3/J4
     "flag_dedup_verified" -> ((s, d) => pipelineFor(s, d).verified.toDF()),     // J5/X8/X15
-    "flag_dedup_tiers" -> ((s, d) => pipelineFor(s, d).tiered.toDF()),          // T1/T2/X12
+    // clip_z is rounded to 6 in the REPORT output only (gating uses the raw
+    // value): the DuckDB oracle recomputes mu/sigma from the verified dump,
+    // and stddev merge order differs at the ulp level between engines —
+    // round-6 on both sides absorbs it (float-safe compare discipline)
+    "flag_dedup_tiers" -> ((s, d) => pipelineFor(s, d).tiered.toDF()            // T1/T2/X12
+      .withColumn("clip_z_analog", round(col("clip_z_analog"), 6))),
     "flag_dedup_clusters" -> ((s, d) => pipelineFor(s, d).clusters.toDF()),     // §2.12 CC
     "flag_run_metrics" -> ((s, d) => {                                          // S5/A4
       import s.implicits._
@@ -579,6 +584,154 @@ object SparkEntry {
            FROM surv)
          SELECT doc_a, doc_b, minhash_est, source
          FROM rk WHERE rk_a <= 64 OR rk_b <= 64""",
+    // Full SQL replay of the PIPELINE's candidate stage over the dumped
+    // signature surface (pipe_bands/pipe_variants/pipe_sigs32): band + exact-
+    // variant collisions → ≥2-band-hit prefilter (bundle-exempt) → b-bit
+    // estimate filter at simThreshold=0.25 → per-doc top-64 cap windows.
+    // band_id provenance: min colliding band index, −1 whenever a bundle
+    // variant participates (the Spark groupBy min() sees the variant rows'
+    // −1). minhash_est = eq/128 is dyadic-exact in both engines — no
+    // rounding needed. No salted buckets at this corpus size, so the
+    // bridge/salt path contributes nothing (the Spark side would emit
+    // source='…+bridge' rows and sub-bucket-restricted pairs, failing this
+    // compare if that ever changed).
+    "flag_dedup_candidates" ->
+      """WITH bands AS (
+           SELECT conv_id, band_id, band_key
+           FROM read_parquet('{GRAFT_OUT}/pipe_bands/*.parquet')),
+         vars AS (
+           SELECT conv_id, v_id, v_hash
+           FROM read_parquet('{GRAFT_OUT}/pipe_variants/*.parquet')),
+         sigs AS (
+           SELECT conv_id, pos, m32
+           FROM read_parquet('{GRAFT_OUT}/pipe_sigs32/*.parquet')),
+         lsh AS (
+           SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                  count(*) AS lsh_hits, min(a.band_id) AS min_band
+           FROM bands a JOIN bands b
+             ON a.band_key = b.band_key AND a.conv_id < b.conv_id
+           GROUP BY 1, 2),
+         bund AS (
+           SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+           FROM vars a JOIN vars b
+             ON a.v_id = b.v_id AND a.v_hash = b.v_hash
+            AND a.conv_id < b.conv_id),
+         uniq AS (
+           SELECT coalesce(l.conv_a, bu.conv_a) AS conv_a,
+                  coalesce(l.conv_b, bu.conv_b) AS conv_b,
+                  coalesce(l.lsh_hits, 0) AS lsh_hits,
+                  CASE WHEN bu.conv_a IS NOT NULL THEN 1 ELSE 0 END AS has_bundle,
+                  CASE WHEN bu.conv_a IS NOT NULL THEN -1
+                       ELSE l.min_band END AS band_id
+           FROM lsh l FULL OUTER JOIN bund bu
+             ON l.conv_a = bu.conv_a AND l.conv_b = bu.conv_b),
+         filt AS (
+           SELECT * FROM uniq WHERE has_bundle = 1 OR lsh_hits >= 2),
+         eqs AS (
+           SELECT f.conv_a, f.conv_b, min(f.band_id) AS band_id,
+                  min(f.lsh_hits) AS lsh_hits, min(f.has_bundle) AS has_bundle,
+                  sum(CASE WHEN sa.m32 = sb.m32 THEN 1 ELSE 0 END) AS eq,
+                  count(*) AS n
+           FROM filt f
+           JOIN sigs sa ON sa.conv_id = f.conv_a
+           JOIN sigs sb ON sb.conv_id = f.conv_b AND sb.pos = sa.pos
+           GROUP BY 1, 2),
+         surv AS (
+           SELECT conv_a, conv_b, band_id,
+                  eq::DOUBLE / n AS minhash_est, lsh_hits, has_bundle,
+                  CASE WHEN lsh_hits > 0 AND has_bundle = 1 THEN 'lsh+bundle'
+                       WHEN lsh_hits > 0 THEN 'lsh' ELSE 'bundle' END AS source,
+                  conv_a || '|' || conv_b AS pair_key
+           FROM eqs
+           WHERE eq::DOUBLE / n >= 0.25 OR has_bundle = 1),
+         rk AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY conv_a ORDER BY
+               greatest(minhash_est, CASE WHEN has_bundle = 1 THEN 1.0 ELSE 0.0 END)
+                 DESC, pair_key) AS rk_a,
+             row_number() OVER (PARTITION BY conv_b ORDER BY
+               greatest(minhash_est, CASE WHEN has_bundle = 1 THEN 1.0 ELSE 0.0 END)
+                 DESC, pair_key) AS rk_b
+           FROM surv)
+         SELECT pair_key, conv_a, conv_b, minhash_est,
+           band_id::INTEGER AS band_id, source
+         FROM rk WHERE rk_a <= 64 OR rk_b <= 64""",
+    // Full SQL replay of the tier gate (T1-T5 truth table + X12 z-score +
+    // T2 routing) over the verified-pairs and conv_profile dumps: the
+    // endpoint mu/sigma recompute is float-safe (minhash_est is dyadic, so
+    // the mean is exact; sigma's ulp-level merge-order noise is absorbed by
+    // the round-6 both sides apply to the clip_z REPORT column — the raw
+    // veto comparison flips only if a z sits within ~1e-15 of the
+    // threshold). Thresholds are DedupConfig.balanced constants, with the
+    // tool_heavy/longform typeGates overrides keyed on the routed pair_type.
+    "flag_dedup_tiers" ->
+      """WITH v AS (
+           SELECT * FROM read_parquet('{GRAFT_OUT}/flag_dedup_verified/*.parquet')),
+         prof AS (
+           SELECT conv_id, content_type
+           FROM read_parquet('{GRAFT_OUT}/conv_profile/*.parquet')),
+         edges AS (
+           SELECT conv_a AS ep, minhash_est AS s FROM v
+           UNION ALL SELECT conv_b, minhash_est FROM v),
+         stats AS (
+           SELECT ep, avg(s) AS mu, stddev_pop(s) AS sigma FROM edges GROUP BY 1),
+         z AS (
+           SELECT v.*,
+             least(
+               CASE WHEN sa.sigma > 1e-9
+                    THEN (v.minhash_est - sa.mu) / sa.sigma ELSE 10.0 END,
+               CASE WHEN sb.sigma > 1e-9
+                    THEN (v.minhash_est - sb.mu) / sb.sigma ELSE 10.0 END
+             ) AS clip_z,
+             CASE WHEN pa.content_type IS NULL OR pb.content_type IS NULL
+                    THEN 'default'
+                  WHEN pa.content_type = pb.content_type THEN pa.content_type
+                  ELSE 'cross' END AS pair_type
+           FROM v
+           LEFT JOIN stats sa ON v.conv_a = sa.ep
+           LEFT JOIN stats sb ON v.conv_b = sb.ep
+           LEFT JOIN prof pa ON v.conv_a = pa.conv_id
+           LEFT JOIN prof pb ON v.conv_b = pb.conv_id),
+         thr AS (
+           SELECT z.*,
+             CASE pair_type WHEN 'tool_heavy' THEN 0.92 WHEN 'longform' THEN 0.90 ELSE 0.90 END AS strict_j,
+             CASE pair_type WHEN 'tool_heavy' THEN 0.85 WHEN 'longform' THEN 0.75 ELSE 0.78 END AS relax_j,
+             CASE pair_type WHEN 'tool_heavy' THEN 1.60 WHEN 'longform' THEN 1.40 ELSE 1.45 END AS relax_s,
+             CASE pair_type WHEN 'tool_heavy' THEN 0.40 WHEN 'longform' THEN 0.30 ELSE 0.32 END AS band_b_j,
+             CASE pair_type WHEN 'tool_heavy' THEN 2.0 WHEN 'longform' THEN 1.5 ELSE 1.5 END AS z_veto_t
+           FROM z),
+         paths AS (
+           SELECT thr.*,
+             (bundle_dist <= 3) AS exact_p,
+             (jaccard >= strict_j AND jaccard_patch_topk >= strict_j - 0.05) AS strict_p,
+             (max_span_len >= 200 AND span_frac >= 0.30) AS span_p,
+             (jaccard >= relax_j AND (minhash_est + jaccard) >= relax_s) AS relaxed_p,
+             (clip_z < z_veto_t AND jaccard < strict_j AND max_span_len < 200) AS fp_veto,
+             (max_span_len >= 100 AND jaccard_patch_topk >= relax_j) AS deep_p,
+             (n_verified_blocks >= 2 AND jaccard >= band_b_j) AS tile_p,
+             (pair_type = 'tool_heavy' AND n_verified_blocks < 1) AS tile_demote,
+             (jaccard >= band_b_j OR simhash_dist <= 9 OR max_span_len >= 100) AS tier_b
+           FROM thr),
+         gated AS (
+           SELECT paths.*,
+             CASE WHEN exact_p THEN 'exact_fingerprint'
+                  WHEN strict_p THEN 'strict_jaccard'
+                  WHEN span_p THEN 'substring_span'
+                  WHEN tile_p THEN 'tile_promoted'
+                  WHEN relaxed_p AND NOT fp_veto AND NOT tile_demote THEN 'relaxed_sum'
+                  WHEN relaxed_p AND deep_p THEN 'deep_verified'
+                  ELSE NULL END AS tp
+           FROM paths)
+         SELECT pair_key, conv_a, conv_b, minhash_est, jaccard,
+           jaccard_patch_topk, n_verified_blocks, simhash_dist, bundle_dist,
+           max_span_len, span_frac, round(clip_z, 6) AS clip_z_analog,
+           pair_type,
+           CASE WHEN tp IS NOT NULL THEN 'A'
+                WHEN tier_b THEN 'B' ELSE 'other' END AS tier,
+           CASE WHEN tp IS NOT NULL THEN tp
+                WHEN tier_b THEN 'band_b' ELSE 'none' END AS tier_path,
+           source
+         FROM gated""",
     // CC oracle: transitive closure over the dumped A/B edges (recursive
     // CTE), min-label per component — pure SQL replay of the min-label
     // union-find/propagation contract (§2.12)
@@ -732,6 +885,83 @@ object SparkEntry {
            SELECT q_id, n_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
            FROM p)
+         SELECT q_id, n_id, rnk, round(cos, 6) AS cosine FROM r WHERE rnk <= 5""",
+    // Full SQL replay of the sign-LSH multi-probe ANN over the dumped
+    // (vec_id, bucket) signatures: probe set = own bucket + each 1-plane
+    // flip (Hamming radius 1), candidates = bucket collisions, then the
+    // same cosine top-k ranking ann_cosine_topk already proves bit-exact.
+    "ann_lsh_topk" ->
+      """WITH b AS (
+           SELECT vec_id, bucket
+           FROM read_parquet('{GRAFT_OUT}/ann_lsh_buckets/*.parquet')),
+         v AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         probes AS (
+           SELECT vec_id AS q_id, bucket AS q_bucket FROM b
+           UNION ALL
+           SELECT vec_id, xor(bucket, (1::BIGINT << (i - 1)))
+           FROM b, range(1, 9) t(i)),
+         cand AS (
+           SELECT p.q_id, nb.vec_id AS n_id
+           FROM probes p JOIN b nb
+             ON p.q_bucket = nb.bucket AND nb.vec_id <> p.q_id),
+         scored AS (
+           SELECT c.q_id, c.n_id,
+             list_sum(list_transform(range(1, len(q.e) + 1),
+               i -> q.e[i] * x.e[i])) / (q.nrm * x.nrm) AS cos
+           FROM cand c
+           JOIN n q ON q.vec_id = c.q_id
+           JOIN n x ON x.vec_id = c.n_id),
+         r AS (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+           FROM scored)
+         SELECT q_id, n_id, rnk, round(cos, 6) AS cosine FROM r WHERE rnk <= 5""",
+    // Full SQL replay of the IVF search over the dumped routing surface
+    // (ann_ivf_cells = per-vector cell, ann_ivf_probes = per-query probed
+    // cells): candidates = corpus vectors in any probed cell, cosine = dot
+    // of PRE-NORMALIZED vectors exactly like the Spark side (divide each
+    // component by the norm, THEN multiply-accumulate — a different fp
+    // rounding than ann_cosine_topk's dot/(na*nb)).
+    "ann_ivf_topk" ->
+      """WITH cells AS (
+           SELECT vec_id, cell
+           FROM read_parquet('{GRAFT_OUT}/ann_ivf_cells/*.parquet')),
+         probes AS (
+           SELECT q_id, cell
+           FROM read_parquet('{GRAFT_OUT}/ann_ivf_probes/*.parquet')),
+         v AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM v),
+         u AS (
+           SELECT vec_id,
+             CASE WHEN nrm = 0 THEN e
+                  ELSE list_transform(e, x -> x / nrm) END AS ue
+           FROM n),
+         cand AS (
+           SELECT p.q_id, c.vec_id AS n_id
+           FROM probes p JOIN cells c ON p.cell = c.cell
+           WHERE p.q_id <> c.vec_id),
+         scored AS (
+           SELECT cd.q_id, cd.n_id,
+             list_sum(list_transform(range(1, len(q.ue) + 1),
+               i -> q.ue[i] * x.ue[i])) AS cos
+           FROM cand cd
+           JOIN u q ON q.vec_id = cd.q_id
+           JOIN u x ON x.vec_id = cd.n_id),
+         r AS (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+           FROM scored)
          SELECT q_id, n_id, rnk, round(cos, 6) AS cosine FROM r WHERE rnk <= 5""",
     "embed_near_dup" ->
       """WITH v AS (

@@ -32,6 +32,28 @@ object Verify {
       .foreach { case (name, df) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
+    // sign-LSH bucket dump (same nPlanes/seed as annLshTopK's defaults):
+    // lets ann_lsh_topk be DuckDB-oracled as a full SQL replay of the
+    // multi-probe bucket join + cosine top-k
+    graft.operators.DocDedup.embeddingLshBuckets(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), nPlanes = 8, seed = 7L)
+      .select("vec_id", "bucket")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_lsh_buckets")
+    // IVF routing dumps (deterministic centroid training, same defaults as
+    // annIvfTopK): lets ann_ivf_topk be DuckDB-oracled as a full SQL replay
+    // of the probed-list join + normalized-cosine top-k
+    graft.operators.AnnIvf.oracleTables(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"))
+      .foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
+    // pipeline signature-surface dumps: let flag_dedup_candidates be
+    // DuckDB-oracled as a full SQL replay of the pipeline's own LSH join
+    // (shares the memoized pipeline sigs — no recompute)
+    graft.operators.LshJoin.oracleSurface(SparkEntry.pipelineFor(spark, sfDir).sigs)
+      .foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -102,12 +102,11 @@ object AnnIvf {
   def centroidsFor(n: Long): Int =
     math.max(8, math.min(4096, math.round(math.sqrt(2.0 * n)).toInt))
 
-  /**
-   * IVF top-k: every vector is a query; candidates come from the nProbe
-   * nearest centroids' inverted lists. Returns (q_id, n_id, rnk, cosine).
-   */
-  def annIvfTopK(emb: DataFrame, k: Int = 5, nProbe: Int = 4,
-                 nCentroids: Int = 0, seed: Long = 11L): DataFrame = {
+  /** The assignment pass as a standalone plan: (vec_id, cell, probes, e)
+    * with e normalized — factored out so the oracle dump (below) replays
+    * the exact cell/probe routing the search join consumes. */
+  def assignments(emb: DataFrame, nProbe: Int = 4,
+                  nCentroids: Int = 0, seed: Long = 11L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val kk = if (nCentroids > 0) nCentroids else centroidsFor(emb.count())
@@ -116,7 +115,7 @@ object AnnIvf {
     val np = math.min(nProbe, cent.length)
 
     // one narrow pass: normalized vector + own cell + probe list
-    val assigned = emb.select(col("vec_id").cast("long"), col("embedding"))
+    emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val c = bc.value
@@ -154,7 +153,15 @@ object AnnIvf {
           (id, probes(0), probes, v)
         }
       }.toDF("vec_id", "cell", "probes", "e")
-      .persist()
+  }
+
+  /** IVF top-k: every vector is a query; candidates come from the nProbe
+    * nearest centroids' inverted lists. Returns (q_id, n_id, rnk, cosine). */
+  def annIvfTopK(emb: DataFrame, k: Int = 5, nProbe: Int = 4,
+                 nCentroids: Int = 0, seed: Long = 11L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assigned = assignments(emb, nProbe, nCentroids, seed).persist()
 
     val corpus = assigned.select($"vec_id", $"cell", $"e")
     val queries = assigned.select($"vec_id".as("q_id"),
@@ -172,5 +179,20 @@ object AnnIvf {
       .localCheckpoint(true)
     assigned.unpersist()
     topk
+  }
+
+  /** The routing surface `annIvfTopK` consumes, exploded to scalar rows —
+    * per-vector cell assignment and per-query probed cells — so the IVF
+    * search (probed-list join + normalized-cosine top-k) can be replayed as
+    * pure SQL in DuckDB and compared hash-exact against `ann_ivf_topk`
+    * (graft.Verify dumps these; trainCentroids is fully deterministic, so
+    * the dump pass and the query pass route identically). */
+  def oracleTables(emb: DataFrame, nProbe: Int = 4,
+                   nCentroids: Int = 0, seed: Long = 11L): Seq[(String, DataFrame)] = {
+    val a = assignments(emb, nProbe, nCentroids, seed)
+    Seq(
+      "ann_ivf_cells" -> a.select(col("vec_id"), col("cell")),
+      "ann_ivf_probes" -> a.select(col("vec_id").as("q_id"),
+        explode(col("probes")).as("cell")))
   }
 }

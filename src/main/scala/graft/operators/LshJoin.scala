@@ -335,6 +335,23 @@ object LshJoin {
       .as[CandidatePair]
   }
 
+  /** The signature surface `candidates` consumes, exploded to scalar rows —
+    * per-band keys, bundle-variant fingerprints, and the 32-bit-truncated
+    * signature components — so the ENTIRE candidate join (band collisions →
+    * min-band-hits prefilter → b-bit estimate filter → per-doc cap windows)
+    * can be replayed as pure SQL in DuckDB and compared hash-exact against
+    * `flag_dedup_candidates` (graft.Verify dumps these next to the query
+    * outputs; the docs-table twin is DocDedup.minhashLshOracleTables). */
+  def oracleSurface(sigs: Dataset[DocSig]): Seq[(String, DataFrame)] = Seq(
+    "pipe_bands" -> sigs.select(col("conv_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_key"))),
+    "pipe_variants" -> sigs.select(col("conv_id"),
+      posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash"))),
+    "pipe_sigs32" -> sigs
+      .select(col("conv_id"), posexplode(col("minhash")).as(Seq("pos", "m64")))
+      .select(col("conv_id"), col("pos"),
+        shiftright(shiftleft(col("m64"), 32), 32).cast("int").as("m32")))
+
   /** Bucket-size funnel stats (A4 analog of the reference's logged
     * O(n²)→O(Σb²) reduction, ai_...AUTO.py:4026-4031). Standalone-job
     * variant of the `bucketObs` observation (diagnosis/tests). */
