@@ -656,6 +656,45 @@ object SparkEntry {
          SELECT pair_key, conv_a, conv_b, minhash_est,
            band_id::INTEGER AS band_id, source
          FROM rk WHERE rk_a <= 64 OR rk_b <= 64""",
+    // The run-metrics funnel replayed from the other dumps: stage
+    // input/output counts are row counts of the dumped stage outputs, and
+    // the LSH bucket funnel (total/paired/salted) recomputes from the
+    // dumped band table — so the observation-carried metrics the pipeline
+    // reports are verified against ground truth, not just non-empty.
+    "flag_run_metrics" ->
+      """WITH corpus AS (
+           SELECT count(*) AS n
+           FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
+         sigs AS (
+           SELECT count(DISTINCT conv_id) AS n
+           FROM read_parquet('{GRAFT_OUT}/pipe_bands/*.parquet')),
+         cands AS (
+           SELECT count(*) AS n
+           FROM read_parquet('{GRAFT_OUT}/flag_dedup_candidates/*.parquet')),
+         ver AS (
+           SELECT count(*) AS n
+           FROM read_parquet('{GRAFT_OUT}/flag_dedup_verified/*.parquet')),
+         tier AS (
+           SELECT count(*) AS n
+           FROM read_parquet('{GRAFT_OUT}/flag_dedup_tiers/*.parquet')),
+         bk AS (
+           SELECT band_key, count(*) AS sz
+           FROM read_parquet('{GRAFT_OUT}/pipe_bands/*.parquet') GROUP BY 1),
+         bstat AS (
+           SELECT count(*)::BIGINT AS total,
+             sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END)::BIGINT AS paired,
+             sum(CASE WHEN sz > 256 THEN 1 ELSE 0 END)::BIGINT AS salted
+           FROM bk)
+         SELECT 'signatures' AS stage, corpus.n::BIGINT AS input_count,
+           sigs.n::BIGINT AS output_count FROM corpus, sigs
+         UNION ALL SELECT 'candidates', sigs.n::BIGINT, cands.n::BIGINT FROM sigs, cands
+         UNION ALL SELECT 'verified', cands.n::BIGINT, ver.n::BIGINT FROM cands, ver
+         UNION ALL SELECT 'tiered', ver.n::BIGINT, tier.n::BIGINT FROM ver, tier
+         UNION ALL SELECT 'clusters', tier.n::BIGINT, (-1)::BIGINT FROM tier
+         UNION ALL SELECT 'lsh_buckets_paired', total, paired FROM bstat
+         UNION ALL SELECT 'lsh_buckets_salted', total, salted FROM bstat
+         UNION ALL SELECT 'pipeline_total', corpus.n::BIGINT, tier.n::BIGINT
+           FROM corpus, tier""",
     // Full SQL replay of the tier gate (T1-T5 truth table + X12 z-score +
     // T2 routing) over the verified-pairs and conv_profile dumps: the
     // endpoint mu/sigma recompute is float-safe (minhash_est is dyadic, so
@@ -757,6 +796,38 @@ object SparkEntry {
     // top-N hamming pairs replayed over the dumped fingerprints: verifies
     // the J8 sweep's join/order/limit logic independently of the simhash
     // kernel (bit_count(xor) is DuckDB's native popcount)
+    // Full SQL replay of the 64-bit SimHash: per-occurrence ±1 bit votes
+    // over the dumped token hashes, bit set iff votes > 0, then the four
+    // 16-bit chunk keys. Bit extraction (th >> bit) & 1 is shift-semantics
+    // agnostic; bit 63 is reconstructed as the signed minimum to stay in
+    // BIGINT. Docs whose text normalizes to zero tokens hash to 0 (the
+    // kernel's empty-input contract), preserved via the left join.
+    "simhash_docs" ->
+      """WITH th AS (
+           SELECT doc_id, th
+           FROM read_parquet('{GRAFT_OUT}/simhash_tokens/*.parquet')),
+         votes AS (
+           SELECT doc_id, b.bit,
+             sum(CASE WHEN ((th >> b.bit::INTEGER) & 1) = 1
+                      THEN 1 ELSE -1 END) AS v
+           FROM th, range(0, 64) AS b(bit)
+           GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN
+                   CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                        ELSE (1::BIGINT << bit::INTEGER) END
+                 ELSE 0 END)::BIGINT AS simhash
+           FROM votes GROUP BY 1),
+         alldocs AS (
+           SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
+           FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id)
+         SELECT doc_id, simhash,
+           (simhash & 65535) AS chunk0,
+           ((simhash >> 16) & 65535) AS chunk1,
+           ((simhash >> 32) & 65535) AS chunk2,
+           ((simhash >> 48) & 65535) AS chunk3
+         FROM alldocs""",
     "simhash_near_pairs" ->
       """WITH f AS (
            SELECT doc_id, simhash

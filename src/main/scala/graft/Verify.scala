@@ -39,6 +39,11 @@ object Verify {
         spark.read.parquet(s"$sfDir/embeddings.parquet"), nPlanes = 8, seed = 7L)
       .select("vec_id", "bucket")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/ann_lsh_buckets")
+    // per-occurrence token-hash dump under the exact simhash64 tokenizer:
+    // lets simhash_docs be DuckDB-oracled as a bit-vote replay
+    graft.operators.DocDedup.simhashOracleTokens(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/simhash_tokens")
     // IVF routing dumps (deterministic centroid training, same defaults as
     // annIvfTopK): lets ann_ivf_topk be DuckDB-oracled as a full SQL replay
     // of the probed-list join + normalized-cosine top-k

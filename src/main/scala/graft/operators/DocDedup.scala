@@ -26,6 +26,19 @@ object DocDedup {
       (shiftright(sh, 48).bitwiseAND(lit(0xFFFFL))).as("chunk3"))
   }
 
+  /** Per-occurrence token hashes under the exact simhash64 tokenizer
+    * (normalize → whitespace tokens → xxh64 per occurrence) — graft.Verify
+    * dumps these so `simhash_docs` can be DuckDB-oracled as a pure-SQL
+    * replay of the 64-bit weighted bit-vote + chunk extraction. Verify-time
+    * surface only (a UDF is fine off the hot path). */
+  def simhashOracleTokens(docs: DataFrame): DataFrame = {
+    val tokHashes = udf((text: String) =>
+      graft.functions.TextKernel.tokenHashes(
+        graft.functions.TextKernel.tokens(
+          graft.functions.TextKernel.normalize(text))))
+    docs.select(col("doc_id"), explode(tokHashes(col("text"))).as("th"))
+  }
+
   /** Thorough-mode near-pair scan (J8 analog: unconditional O(n²) sweep,
     * gated to small corpora like the reference's whole-page scanner,
     * /root/reference/duplicate_detector/core/feature_scanner.py:10-87):
