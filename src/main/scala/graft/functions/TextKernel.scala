@@ -59,6 +59,36 @@ object TextKernel {
     th
   }
 
+  /** Fused tokenize+hash over ALREADY-NORMALIZED text: one UTF-8 encoding
+    * of the whole string, then per-token xxh64 over byte ranges between
+    * space bytes — bit-identical to `tokenHashes(tokens(norm))` (U+0020 is
+    * the only code point whose UTF-8 encoding contains byte 0x20, and
+    * `normalize` guarantees single interior spaces with no leading/trailing
+    * space) while allocating O(1) objects instead of one String + one
+    * byte[] per token. The per-token allocation churn was measurable
+    * memory-bus traffic in the signatures stage at 32 threads
+    * (TextKernelSpec gates the parity on arbitrary unicode input). */
+  def tokenHashesFromNorm(norm: String): Array[Long] = {
+    if (norm.isEmpty) return Array.empty
+    val b = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var n = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') n += 1; i += 1 }
+    val out = new Array[Long](n)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        out(w) = Hashing.xxh64(b, start, i - start, TokenSeed)
+        w += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /**
    * Distinct word-k-gram shingle hashes (64-bit). Rolling re-hash of k
    * token hashes — the generator pattern of the reference's sliding
@@ -182,16 +212,32 @@ object TextKernel {
   def simhash64FromHashes(th: Array[Long]): Long = {
     if (th.isEmpty) return 0L
     val votes = new Array[Int](64)
-    var i = 0
-    while (i < th.length) {
+    simhashVotes(th, 0, th.length, votes)
+    simhashFromVotes(votes)
+  }
+
+  /** Accumulate the ±1 per-occurrence bit votes of th[from, until) into
+    * `votes` (length 64). Votes are plain integer sums, so votes over a
+    * partition of ranges add up to the whole array's votes exactly — the
+    * signature kernel exploits this to derive the full-document simhash
+    * from its head/tail variant votes instead of a third O(n·64) pass. */
+  def simhashVotes(th: Array[Long], from: Int, until: Int,
+                   votes: Array[Int]): Unit = {
+    var i = from
+    while (i < until) {
       val h = th(i)
       var bit = 0
       while (bit < 64) {
-        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        // branchless ±1: (bit<<1)-1 maps {0,1} -> {-1,+1}
+        votes(bit) += ((((h >>> bit) & 1L) << 1) - 1L).toInt
         bit += 1
       }
       i += 1
     }
+  }
+
+  /** Majority threshold: bit set iff its vote sum is strictly positive. */
+  def simhashFromVotes(votes: Array[Int]): Long = {
     var out = 0L
     var bit = 0
     while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }

@@ -36,24 +36,41 @@ object Signatures {
       val (pa, pb) = Hashing.minhashParams(nPerms, seed)
       it.map { d =>
         val norm = TextKernel.normalize(d.doc_text)
-        val toks = TextKernel.tokens(norm)
-        // hash every token exactly once; all signatures share these hashes
-        // (string re-hashing per signature dominated this stage's profile)
-        val th = TextKernel.tokenHashes(toks)
+        // fused tokenize+hash: one UTF-8 pass, no per-token String/byte[]
+        // (string re-hashing per signature dominated this stage's profile;
+        // the per-token allocation churn was the next memory-bus cost)
+        val th = TextKernel.tokenHashesFromNorm(norm)
         val shingles = TextKernel.shingleSetFromHashes(th, k)
         val sig = TextKernel.minhash(shingles, pa, pb)
         val bandKeys = TextKernel.bandKeys(sig, bands, rows)
-        val sim = TextKernel.simhash64FromHashes(th)
         // variant bundle: (canonical, role-line-stripped, head-only, tail-only)
         // — normalization variants standing in for the reference's
-        // rotation/mirror transform bundle.
+        // rotation/mirror transform bundle. Head/tail votes are computed
+        // once and SUMMED into the full-document votes (integer vote sums
+        // over a range partition are exact), saving the third O(n·64) pass
+        // and both half-array copies.
         val lines = norm // already role-free; variants over token windows:
         val nT = th.length
-        val headH = java.util.Arrays.copyOfRange(th, 0, math.min(nT, math.max(1, nT / 2)))
-        val tailH = java.util.Arrays.copyOfRange(th, nT - math.min(nT, math.max(1, nT / 2)), nT)
+        val hLen = math.min(nT, math.max(1, nT / 2))
+        val tStart = nT - hLen
+        val vHead = new Array[Int](64)
+        TextKernel.simhashVotes(th, 0, hLen, vHead)
+        val vTail = new Array[Int](64)
+        TextKernel.simhashVotes(th, tStart, nT, vTail)
+        val vFull = new Array[Int](64)
+        if (tStart >= hLen) {
+          // disjoint head/tail: full = head + middle + tail
+          var b = 0
+          while (b < 64) { vFull(b) = vHead(b) + vTail(b); b += 1 }
+          TextKernel.simhashVotes(th, hLen, tStart, vFull)
+        } else {
+          // nT <= 1: head and tail are both the whole array
+          System.arraycopy(vHead, 0, vFull, 0, 64)
+        }
+        val sim = TextKernel.simhashFromVotes(vFull)
         val bundle = Array(sim,
-          TextKernel.simhash64FromHashes(headH),
-          TextKernel.simhash64FromHashes(tailH),
+          TextKernel.simhashFromVotes(vHead),
+          TextKernel.simhashFromVotes(vTail),
           TextKernel.simhash64FromHashes(TextKernel.sortedDistinct(th)))
         val sketch = {
           val s = TextKernel.bottomK(shingles, sketchK)

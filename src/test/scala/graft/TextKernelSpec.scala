@@ -106,4 +106,51 @@ class TextKernelSpec extends AnyFunSuite {
     assert(a1.sameElements(a2) && b1.sameElements(b2))
     assert(a1.forall(x => (x & 1L) == 1L))
   }
+
+  test("tokenHashesFromNorm is bit-identical to tokenHashes(tokens(norm))") {
+    val rng = new scala.util.Random(42)
+    val alphabets = Array(
+      "abcdefghij ",                        // ascii
+      "äöüßéàñç日本語中文한국 ",             // multibyte BMP
+      "a😀b🤖 x9 ",     // surrogate pairs (emoji)
+      "Ω≠∑ x  y\t.z, Q-7 "                  // punctuation → space collapse
+    )
+    val cases = Seq("", "one", "two tokens", "  padded  ", "ünïcode tökens",
+      "😀 😀 same emoji") ++
+      (1 to 60).map { _ =>
+        val alpha = alphabets(rng.nextInt(alphabets.length))
+        (1 to (1 + rng.nextInt(80)))
+          .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      }
+    cases.foreach { raw =>
+      val norm = TextKernel.normalize(raw)
+      val legacy = TextKernel.tokenHashes(TextKernel.tokens(norm))
+      val fused = TextKernel.tokenHashesFromNorm(norm)
+      assert(fused.sameElements(legacy), s"mismatch for input: '$raw'")
+    }
+  }
+
+  test("simhash vote decomposition equals direct simhash (head/tail/full)") {
+    val rng = new scala.util.Random(7)
+    for (nT <- Seq(0, 1, 2, 3, 4, 5, 17, 100, 101)) {
+      val th = Array.fill(nT)(rng.nextLong())
+      val hLen = math.min(nT, math.max(1, nT / 2))
+      val tStart = nT - hLen
+      val vHead = new Array[Int](64); TextKernel.simhashVotes(th, 0, hLen, vHead)
+      val vTail = new Array[Int](64); TextKernel.simhashVotes(th, tStart, nT, vTail)
+      val vFull = new Array[Int](64)
+      if (tStart >= hLen) {
+        var b = 0; while (b < 64) { vFull(b) = vHead(b) + vTail(b); b += 1 }
+        TextKernel.simhashVotes(th, hLen, tStart, vFull)
+      } else System.arraycopy(vHead, 0, vFull, 0, 64)
+      val headH = java.util.Arrays.copyOfRange(th, 0, hLen)
+      val tailH = java.util.Arrays.copyOfRange(th, tStart, nT)
+      assert(TextKernel.simhashFromVotes(vFull) ==
+        TextKernel.simhash64FromHashes(th), s"full, nT=$nT")
+      assert(TextKernel.simhashFromVotes(vHead) ==
+        TextKernel.simhash64FromHashes(headH), s"head, nT=$nT")
+      assert(TextKernel.simhashFromVotes(vTail) ==
+        TextKernel.simhash64FromHashes(tailH), s"tail, nT=$nT")
+    }
+  }
 }
