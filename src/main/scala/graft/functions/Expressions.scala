@@ -19,10 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object Expr0 {
   // static entry points for generated code (stable names, no overload ambiguity)
-  def simhash(s: UTF8String): Long = {
-    val toks = TextKernel.tokens(TextKernel.normalize(s.toString))
-    TextKernel.simhash64(toks)
-  }
+  def simhash(s: UTF8String): Long =
+    // fused tokenize+hash (bit-identical to tokenHashes(tokens(norm)) —
+    // TextKernelSpec parity gate): O(1) allocations per value, not O(tokens)
+    TextKernel.simhash64FromHashes(
+      TextKernel.tokenHashesFromNorm(TextKernel.normalize(s.toString)))
   private val paramCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
   private def params(numPerms: Int, seed: Long) =
@@ -30,8 +31,8 @@ object Expr0 {
       k => Hashing.minhashParams(k._1, k._2))
 
   def minhashSig(s: UTF8String, k: Int, numPerms: Int, seed: Long): ArrayData = {
-    val toks = TextKernel.tokens(TextKernel.normalize(s.toString))
-    val sh = TextKernel.shingleSet(toks, k)
+    val th = TextKernel.tokenHashesFromNorm(TextKernel.normalize(s.toString))
+    val sh = TextKernel.shingleSetFromHashes(th, k)
     val (a, b) = params(numPerms, seed)
     new GenericArrayData(TextKernel.minhash(sh, a, b))
   }

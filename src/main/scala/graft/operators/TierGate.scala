@@ -45,7 +45,7 @@ object TierGate {
     val edges = pairs.select($"conv_a".as("ep"), $"minhash_est".as("s"))
       .unionAll(pairs.select($"conv_b".as("ep"), $"minhash_est".as("s")))
     val stats = edges.groupBy($"ep").agg(
-      avg($"s").as("mu"), stddev_pop($"s").as("sigma"), count(lit(1)).as("deg"))
+      avg($"s").as("mu"), stddev_pop($"s").as("sigma"))
     def z(side: String) =
       when(col(s"sigma_$side") > 1e-9,
         (col("minhash_est") - col(s"mu_$side")) / col(s"sigma_$side"))

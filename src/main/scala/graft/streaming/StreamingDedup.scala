@@ -54,7 +54,7 @@ object StreamingDedup {
     val k = cfg.shingleK
     val (pa, pb) = Hashing.minhashParams(cfg.numPerms, cfg.minhashSeed)
     (st: ConvState, t: Turn) => {
-    val th = TextKernel.tokenHashes(TextKernel.tokens(TextKernel.normalize(sigText(t))))
+    val th = TextKernel.tokenHashesFromNorm(TextKernel.normalize(sigText(t)))
     val votes = st.simhashVotes.clone()
     th.foreach { h =>
       var b = 0
