@@ -703,6 +703,157 @@ object SparkEntry {
     // veto comparison flips only if a z sits within ~1e-15 of the
     // threshold). Thresholds are DedupConfig.balanced constants, with the
     // tool_heavy/longform typeGates overrides keyed on the routed pair_type.
+    // Full SQL replay of intra-conversation repeated-span stats over the
+    // dumped positional shingle surface: per-shingle multiplicity counts,
+    // repeat mass, and the TRUE interval-union clone coverage replayed as
+    // gaps-and-islands (an island breaks where the next repeated position
+    // is >= k past the previous one; covered = last + k - first per
+    // island, exactly the kernel's curStart/curEnd merge). All doubles
+    // are int/int IEEE divisions — bit-identical without rounding.
+    "intra_repeated_spans" ->
+      """WITH sh AS (
+           SELECT * FROM read_parquet('{GRAFT_OUT}/intra_shingles/*.parquet')),
+         d AS (SELECT * FROM read_parquet('{GRAFT_OUT}/intra_doc/*.parquet')),
+         cnt AS (SELECT conv_id, h, count(*) AS c FROM sh GROUP BY 1, 2),
+         agg AS (
+           SELECT conv_id,
+             sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_rep,
+             max(CASE WHEN c > 1 THEN c END) AS max_mult,
+             sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS excess
+           FROM cnt GROUP BY 1),
+         rep AS (
+           SELECT s.conv_id, s.pos
+           FROM sh s JOIN cnt ON cnt.conv_id = s.conv_id AND cnt.h = s.h
+           WHERE cnt.c > 1),
+         isl AS (
+           SELECT conv_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w >= 5 THEN 1 ELSE 0 END AS ni
+           FROM rep WINDOW w AS (PARTITION BY conv_id ORDER BY pos)),
+         grp AS (
+           SELECT conv_id, pos,
+             sum(ni) OVER (PARTITION BY conv_id ORDER BY pos) AS g
+           FROM isl),
+         cov AS (
+           SELECT conv_id, sum(mx + 5 - mn) AS covered
+           FROM (SELECT conv_id, g, min(pos) AS mn, max(pos) AS mx
+                 FROM grp GROUP BY 1, 2)
+           GROUP BY 1)
+         SELECT d.conv_id, d.n_tokens,
+           agg.n_rep::INT AS n_repeated_shingles,
+           agg.max_mult::INT AS max_multiplicity,
+           agg.excess::DOUBLE / greatest(1, d.n_tokens - 4) AS repeat_fraction,
+           coalesce(cov.covered, 0)::DOUBLE / d.n_tokens AS clone_coverage
+         FROM d JOIN agg ON agg.conv_id = d.conv_id
+         LEFT JOIN cov ON cov.conv_id = d.conv_id
+         WHERE agg.n_rep > 0""",
+    // Full SQL replay of the verification evidence map over the dumped
+    // per-conv surfaces: global sketch jaccard (merge-scan set ratio),
+    // per-block jaccards -> ordered top-k mean / min / verified-tile count,
+    // simhash + bundle hamming via bit_count(xor) (bundle_dist replicates
+    // the kernel's short-circuit: FIRST distance <= cutoff in (i,j) scan
+    // order, else the true min), span_frac from the dumped head lengths.
+    // The suffix-array span itself is not SQL-expressible; the oracle takes
+    // it from the dump but enforces the progressive-gating contract (span
+    // forced to 0 unless jac < 0.90 AND bundle_dist > 3 AND est >= 0.15) —
+    // so a Spark-side regression in the gating discipline still fails the
+    // compare. FP discipline: every double is an int/int IEEE division or
+    // an order-replicated sum (top-k added descending, exactly like the
+    // kernel), so values are bit-identical without rounding.
+    "flag_dedup_verified" ->
+      """WITH p AS (
+           SELECT pair_key, conv_a, conv_b, minhash_est, source
+           FROM read_parquet('{GRAFT_OUT}/flag_dedup_candidates/*.parquet')),
+         doc AS (SELECT * FROM read_parquet('{GRAFT_OUT}/pipe_doc/*.parquet')),
+         sk AS (SELECT * FROM read_parquet('{GRAFT_OUT}/pipe_sketch/*.parquet')),
+         blk AS (SELECT * FROM read_parquet('{GRAFT_OUT}/pipe_blocks/*.parquet')),
+         vr AS (SELECT * FROM read_parquet('{GRAFT_OUT}/pipe_variants/*.parquet')),
+         vd AS (SELECT pair_key, max_span_len, span_offset
+                FROM read_parquet('{GRAFT_OUT}/flag_dedup_verified/*.parquet')),
+         base AS (
+           SELECT p.*, da.simhash AS sh_a, db.simhash AS sh_b,
+                  da.sketch_n AS skn_a, db.sketch_n AS skn_b,
+                  least(da.n_blocks, db.n_blocks) AS nblk,
+                  greatest(1, least(da.head_len, db.head_len)) AS min_len
+           FROM p JOIN doc da ON da.conv_id = p.conv_a
+                  JOIN doc db ON db.conv_id = p.conv_b),
+         gi AS (
+           SELECT p.pair_key, count(*) AS i
+           FROM p JOIN sk a ON a.conv_id = p.conv_a
+                  JOIN sk b ON b.conv_id = p.conv_b AND b.sk = a.sk
+           GROUP BY 1),
+         bn AS (SELECT conv_id, block_id, count(*) AS n FROM blk GROUP BY 1, 2),
+         bi AS (
+           SELECT p.pair_key, a.block_id, count(*) AS i
+           FROM p JOIN blk a ON a.conv_id = p.conv_a
+                  JOIN blk b ON b.conv_id = p.conv_b
+                             AND b.block_id = a.block_id AND b.bk = a.bk
+           GROUP BY 1, 2),
+         bidx AS (
+           SELECT pair_key, conv_a, conv_b,
+                  unnest(range(nblk)) AS block_id
+           FROM base),
+         bj AS (
+           SELECT x.pair_key, x.block_id,
+             CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0) = 0 THEN 0.0
+                  ELSE coalesce(bi.i, 0)::DOUBLE
+                       / (coalesce(na.n, 0) + coalesce(nb.n, 0) - coalesce(bi.i, 0))
+             END AS bj
+           FROM bidx x
+           LEFT JOIN bn na ON na.conv_id = x.conv_a AND na.block_id = x.block_id
+           LEFT JOIN bn nb ON nb.conv_id = x.conv_b AND nb.block_id = x.block_id
+           LEFT JOIN bi ON bi.pair_key = x.pair_key AND bi.block_id = x.block_id),
+         bs AS (
+           SELECT pair_key, count(*) AS nblk, min(bj) AS patch_min,
+             sum(CASE WHEN bj >= 0.5 THEN 1 ELSE 0 END) AS n_verified,
+             list(bj ORDER BY bj DESC) AS l
+           FROM bj GROUP BY 1),
+         bd AS (
+           SELECT p.pair_key,
+             coalesce(
+               arg_min(bit_count(xor(va.v_hash, vb.v_hash))::INT,
+                       va.v_id * 1024 + vb.v_id)
+                 FILTER (WHERE bit_count(xor(va.v_hash, vb.v_hash)) <= 3),
+               min(bit_count(xor(va.v_hash, vb.v_hash)))::INT, 64) AS bundle_dist
+           FROM p LEFT JOIN vr va ON va.conv_id = p.conv_a
+                  LEFT JOIN vr vb ON vb.conv_id = p.conv_b
+           GROUP BY 1),
+         ev AS (
+           SELECT base.pair_key, base.conv_a, base.conv_b, base.minhash_est,
+             CASE WHEN base.skn_a + base.skn_b = 0 THEN 0.0
+                  ELSE coalesce(gi.i, 0)::DOUBLE
+                       / (base.skn_a + base.skn_b - coalesce(gi.i, 0))
+             END AS jaccard,
+             CASE WHEN coalesce(bs.nblk, 0) = 0 THEN 0.0
+                  ELSE (coalesce(bs.l[1], 0.0) + coalesce(bs.l[2], 0.0)
+                        + coalesce(bs.l[3], 0.0) + coalesce(bs.l[4], 0.0))
+                       / least(bs.nblk, 4)
+             END AS jaccard_patch_topk,
+             CASE WHEN coalesce(bs.nblk, 0) = 0 THEN 0.0
+                  ELSE bs.patch_min END AS jaccard_patch_min,
+             coalesce(bs.n_verified, 0)::INT AS n_verified_blocks,
+             bit_count(xor(base.sh_a, base.sh_b))::INT AS simhash_dist,
+             bd.bundle_dist::INT AS bundle_dist,
+             (bd.bundle_dist <= 3) AS variant_matched,
+             base.min_len, base.source
+           FROM base
+           LEFT JOIN gi ON gi.pair_key = base.pair_key
+           LEFT JOIN bs ON bs.pair_key = base.pair_key
+           JOIN bd ON bd.pair_key = base.pair_key),
+         sp AS (
+           SELECT ev.*,
+             CASE WHEN ev.jaccard < 0.90 AND ev.bundle_dist > 3
+                       AND ev.minhash_est >= 0.15
+                  THEN vd.max_span_len ELSE 0 END AS max_span_len,
+             CASE WHEN ev.jaccard < 0.90 AND ev.bundle_dist > 3
+                       AND ev.minhash_est >= 0.15
+                  THEN vd.span_offset ELSE 0 END AS span_offset
+           FROM ev JOIN vd ON vd.pair_key = ev.pair_key)
+         SELECT pair_key, conv_a, conv_b, minhash_est, jaccard,
+           jaccard_patch_topk, jaccard_patch_min, n_verified_blocks,
+           simhash_dist, bundle_dist, variant_matched, max_span_len,
+           max_span_len::DOUBLE / min_len AS span_frac, span_offset, source
+         FROM sp""",
     "flag_dedup_tiers" ->
       """WITH v AS (
            SELECT * FROM read_parquet('{GRAFT_OUT}/flag_dedup_verified/*.parquet')),
@@ -1173,6 +1324,20 @@ object SparkEntry {
            round(adev / (1.4826 * mad), 4) AS robust_z
          FROM d JOIN s ON user_id = u2
          WHERE mad > 1e-9 AND adev / (1.4826 * mad) > 3.5""",
+    // Approx twin: the GK sketch is the one non-SQL-replayable step, so
+    // Verify dumps its per-key (median, MAD) surface and the oracle
+    // replays the deviation/z gating over it — same compositional pattern
+    // as the tier replay over the verified dump. (The dump itself is
+    // deterministic: below `accuracy` observations per group the sketch
+    // retains every value.)
+    "q_mad_outliers_approx" ->
+      """WITH s AS (
+           SELECT k, med, mad
+           FROM read_parquet('{GRAFT_OUT}/mad_approx_stats/*.parquet'))
+         SELECT event_id, user_id,
+           round(abs(value - med) / (1.4826 * mad), 4) AS robust_z
+         FROM events JOIN s ON user_id = k
+         WHERE mad > 1e-9 AND abs(value - med) / (1.4826 * mad) > 3.5""",
     "q_sessionize" ->
       """WITH l AS (
            SELECT user_id, ts,

@@ -59,6 +59,27 @@ object Verify {
       .foreach { case (name, df) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
+    // per-conv evidence surfaces: let flag_dedup_verified be DuckDB-oracled
+    // as a SQL replay of the evidence map (all columns except the
+    // suffix-array span, which the oracle gates against the needSpan rule)
+    graft.operators.Verification.oracleSurface(SparkEntry.pipelineFor(spark, sfDir).sigs)
+      .foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
+    // positional shingle-hash surfaces: let intra_repeated_spans be
+    // DuckDB-oracled as a SQL replay of the repeat counting + interval-
+    // union coverage (gaps-and-islands)
+    graft.operators.IntraDup.shingleSurface(
+        graft.operators.Reassembly.assemble(SparkEntry.corpusFor(spark, sfDir)))
+      .foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
+    // approx-percentile sketch surface: lets q_mad_outliers_approx be
+    // DuckDB-oracled by replaying the deviation/z gating over the dumped
+    // per-key (median, MAD) sketch outputs
+    graft.operators.RobustStats.stats(
+        spark.read.parquet(s"$sfDir/events.parquet"), exact = false)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/mad_approx_stats")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -22,25 +22,57 @@ object IntraDup {
     * positions covered by any shingle occurring more than once, merged as
     * intervals (A6 analog: the reference's pixel-set union of clone
     * regions → area %, ai_...AUTO.py:2200-2214). */
+  /** Positional shingle hashes of one conversation — shared by
+    * repeatedSpans and its oracle surface so the two can never drift.
+    * Returns (tokenCount, hashes); hashes is empty when n < k. */
+  private def positionalShingles(text: String, k: Int): (Int, Array[Long]) = {
+    val toks = TextKernel.tokens(TextKernel.normalize(text))
+    val n = toks.length
+    if (n < k) return (n, Array.emptyLongArray)
+    val th = toks.map(t => graft.functions.Hashing.xxh64(t, TextKernel.TokenSeed))
+    val hs = new Array[Long](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      var h = TextKernel.ShingleSeed
+      var j = i
+      while (j < i + k) { h = graft.functions.Hashing.xxh64Long(th(j), h); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    (n, hs)
+  }
+
+  /** Oracle surfaces for the DuckDB replay of `intra_repeated_spans`:
+    * the per-conversation positional shingle hashes (`intra_shingles`) and
+    * token counts (`intra_doc`). The hash chain itself is the only
+    * non-SQL step — with it dumped, every output column (repeat counts,
+    * max multiplicity, repeat mass, interval-union clone coverage via
+    * gaps-and-islands) is re-derivable in pure SQL. */
+  def shingleSurface(docs: Dataset[ConvDoc], k: Int = 5): Seq[(String, DataFrame)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.flatMap { d =>
+      val (_, hs) = positionalShingles(d.doc_text, k)
+      hs.iterator.zipWithIndex.map { case (h, i) => (d.conv_id, i, h) }
+    }.toDF("conv_id", "pos", "h")
+    val doc = docs.map { d =>
+      (d.conv_id, positionalShingles(d.doc_text, k)._1)
+    }.toDF("conv_id", "n_tokens")
+    Seq("intra_shingles" -> sh, "intra_doc" -> doc)
+  }
+
   def repeatedSpans(docs: Dataset[ConvDoc], k: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.mapPartitions { it =>
       it.map { d =>
-        val toks = TextKernel.tokens(TextKernel.normalize(d.doc_text))
         val counts = new scala.collection.mutable.HashMap[Long, Int]
-        val n = toks.length
-        var hs: Array[Long] = null
-        if (n >= k) {
-          val th = toks.map(t => graft.functions.Hashing.xxh64(t, TextKernel.TokenSeed))
-          hs = new Array[Long](n - k + 1)
+        val (n, hsArr) = positionalShingles(d.doc_text, k)
+        val hs: Array[Long] = if (hsArr.isEmpty) null else hsArr
+        if (hs != null) {
           var i = 0
-          while (i + k <= n) {
-            var h = TextKernel.ShingleSeed
-            var j = i
-            while (j < i + k) { h = graft.functions.Hashing.xxh64Long(th(j), h); j += 1 }
-            hs(i) = h
-            counts.update(h, counts.getOrElse(h, 0) + 1)
+          while (i < hs.length) {
+            counts.update(hs(i), counts.getOrElse(hs(i), 0) + 1)
             i += 1
           }
         }

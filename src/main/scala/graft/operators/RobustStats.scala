@@ -24,6 +24,28 @@ import org.apache.spark.sql.functions._
  */
 object RobustStats {
 
+  /** Per-key (median, MAD) sketch surface — the engine's only non-SQL-
+    * replayable step. Exposed separately so Verify can dump it and the
+    * DuckDB oracle can replay the downstream gating math over it (the
+    * sketch is deterministic: below `accuracy` observations per group the
+    * GK summary retains every value, so a re-run reproduces it bit-exact).
+    */
+  def stats(events: DataFrame,
+            keyCol: String = "user_id",
+            valCol: String = "value",
+            exact: Boolean = true,
+            accuracy: Int = 10000): DataFrame = {
+    def median(c: String) =
+      if (exact) expr(s"percentile($c, 0.5)")
+      else expr(s"approx_percentile($c, 0.5, $accuracy)")
+    val med = events.groupBy(col(keyCol).as("k1"))
+      .agg(median(valCol).as("med"))
+    events.join(med, events(keyCol) === col("k1"))
+      .withColumn("adev", abs(col(valCol) - col("med")))
+      .groupBy(col(keyCol).as("k"))
+      .agg(first("med").as("med"), median("adev").as("mad"))
+  }
+
   def madOutliers(events: DataFrame,
                   keyCol: String = "user_id",
                   valCol: String = "value",
@@ -31,16 +53,9 @@ object RobustStats {
                   zThreshold: Double = 3.5,
                   exact: Boolean = true,
                   accuracy: Int = 10000): DataFrame = {
-    def median(c: String) =
-      if (exact) expr(s"percentile($c, 0.5)")
-      else expr(s"approx_percentile($c, 0.5, $accuracy)")
-    val med = events.groupBy(col(keyCol).as("k1"))
-      .agg(median(valCol).as("med"))
-    val dev = events.join(med, events(keyCol) === col("k1"))
+    val st = stats(events, keyCol, valCol, exact, accuracy)
+    events.join(st, events(keyCol) === col("k"))
       .withColumn("adev", abs(col(valCol) - col("med")))
-    val mad = dev.groupBy(col(keyCol).as("k2"))
-      .agg(median("adev").as("mad"))
-    dev.join(mad, dev(keyCol) === col("k2"))
       .filter(col("mad") > 1e-9)
       .withColumn("robust_z", col("adev") / (lit(1.4826) * col("mad")))
       .filter(col("robust_z") > zThreshold)

@@ -31,6 +31,24 @@ import graft.model._
  */
 object Verification {
 
+  /** Per-conversation evidence surfaces for the DuckDB replay oracle of
+    * `flag_dedup_verified`: the exploded global sketch, the exploded
+    * per-block sketches, and the per-doc scalars (simhash, array sizes,
+    * head length) the evidence map reads. With these dumped, every
+    * verified-pair column except the suffix-array span is re-derivable in
+    * pure SQL (jaccard = merge-scan set ratio, patch stats = ordered
+    * top-k over per-block jaccards, hamming = bit_count(xor)). */
+  def oracleSurface(sigs: Dataset[graft.model.DocSig]): Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+    "pipe_sketch" -> sigs.select(col("conv_id"),
+      explode(col("sketch")).as("sk")),
+    "pipe_blocks" -> sigs
+      .select(col("conv_id"), posexplode(col("block_sketches")).as(Seq("block_id", "bks")))
+      .select(col("conv_id"), col("block_id"), explode(col("bks")).as("bk")),
+    "pipe_doc" -> sigs.select(col("conv_id"), col("simhash"),
+      size(col("sketch")).as("sketch_n"),
+      size(col("block_sketches")).as("n_blocks"),
+      length(col("head_text")).as("head_len")))
+
   private case class Payload(
     conv_id: String, simhash: Long, simhash_bundle: Array[Long],
     sketch: Array[Long], block_sketches: Array[Array[Long]],
