@@ -1324,6 +1324,28 @@ object SparkEntry {
            round(adev / (1.4826 * mad), 4) AS robust_z
          FROM d JOIN s ON user_id = u2
          WHERE mad > 1e-9 AND adev / (1.4826 * mad) > 3.5""",
+    // The stub decode's per-element feature output is dumped as a surface
+    // (media_features); the oracle replays everything around it in SQL:
+    // the modality routing (doc_id mod 3), the payload checksum (md5 of
+    // the source text — payload IS the UTF-8 text), and the squared-norm
+    // left fold in index order (list_reduce replicates the Spark
+    // `aggregate` accumulation sequence bit-exactly before the round).
+    "multimodal_features" ->
+      """WITH f AS (
+           SELECT doc_id, list(val ORDER BY idx) AS l
+           FROM read_parquet('{GRAFT_OUT}/media_features/*.parquet')
+           GROUP BY 1),
+         s AS (
+           SELECT doc_id,
+             list_reduce(list_transform(l, x -> x * x), (a, b) -> a + b) AS sq
+           FROM f)
+         SELECT d.doc_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+                WHEN d.doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           md5(d.text) AS payload_md5,
+           round(s.sq, 6) AS feat_sq_norm
+         FROM documents d JOIN s ON s.doc_id = d.doc_id""",
     // Approx twin: the GK sketch is the one non-SQL-replayable step, so
     // Verify dumps its per-key (median, MAD) surface and the oracle
     // replays the deviation/z gating over it — same compositional pattern

@@ -74,6 +74,17 @@ object Verify {
       .foreach { case (name, df) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
+    // stub-decode feature surface: lets multimodal_features be DuckDB-
+    // oracled — the fake decode's per-element output is dumped and the
+    // oracle replays the modality routing, payload md5, and the ordered
+    // sq-norm fold in SQL (list_reduce), so the Spark-side plumbing around
+    // the declared stub is hash-gated like everything else
+    graft.operators.Multimodal.featurize(graft.operators.Multimodal.asMedia(
+        spark.read.parquet(s"$sfDir/documents.parquet"))).toDF()
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.col("feature")).as(Seq("idx", "val")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/media_features")
     // approx-percentile sketch surface: lets q_mad_outliers_approx be
     // DuckDB-oracled by replaying the deviation/z gating over the dumped
     // per-key (median, MAD) sketch outputs
