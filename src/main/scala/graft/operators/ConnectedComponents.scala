@@ -43,6 +43,33 @@ object ConnectedComponents {
       Option(row.getAs[Any]("chg")).map(_.asInstanceOf[Long]).orElse(Some(0L))
     } catch { case _: java.util.concurrent.TimeoutException => None }
 
+  /** One partition-local union-find contraction pass over an edge list:
+    * emits one (root, vertex) spanning-tree edge per distinct vertex per
+    * partition. Preserves connectivity exactly; needs no dedup, symmetry,
+    * or co-partitioning. */
+  private def contract(edgeDf: DataFrame): DataFrame = {
+    val spark = edgeDf.sparkSession
+    import spark.implicits._
+    edgeDf.as[(String, String)].mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap[String, String]()
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      it.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // snapshot keys BEFORE find(): path compression updates map values
+      val ks = parent.keys.toArray
+      ks.iterator.map(v => (find(v), v))
+    }.toDF("src", "dst")
+  }
+
   /** edges: DataFrame with (conv_a, conv_b). Returns (conv_id, cluster_id,
     * cluster_size). `edgeCountHint`: an UPPER BOUND on the edge count known
     * by the caller (e.g. from an observation that already rode a checkpoint
@@ -75,26 +102,32 @@ object ConnectedComponents {
     // pass + collect + union-find. At 100-TB scale the forest is still
     // huge → the iterative min-label loop below runs, on a graph that
     // contraction has already shrunk by the family density factor.
+    //
+    // The forest's size scales with the PARTITION COUNT, not just the graph
+    // (a vertex contributes one spanning-tree edge per partition touching
+    // it), so one pass at high parallelism can overshoot the driver budget
+    // that the same edges at low parallelism meet — measured at 9.1M turns:
+    // clusters 2.0 s at local[8] vs 9.7 s at local[32], purely because the
+    // local[32] forest spilled into the iterative loop. RE-CONTRACT over
+    // merged partitions (coalesce — no shuffle) before falling back: each
+    // merge round collapses cross-partition trees by ~the merge factor, so
+    // the driver-local path is reachable independent of the cluster's
+    // parallelism. Connectivity is invariant under every round; the final
+    // labels depend only on connectivity, so output is partition-agnostic.
     val raw = edges.select(col("conv_a").as("src"), col("conv_b").as("dst"))
-    val forest = raw.as[(String, String)].mapPartitions { it =>
-      val parent = scala.collection.mutable.HashMap[String, String]()
-      def find(x: String): String = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
-        r
+    var forest = contract(raw).localCheckpoint(true)
+    var nForest = forest.count()
+    var mergeRounds = 0
+    while (nForest > driverLocalMaxEdges && mergeRounds < 2) {
+      val nParts = forest.rdd.getNumPartitions
+      if (nParts <= 1) { mergeRounds = 2 } // nothing left to merge
+      else {
+        forest = contract(forest.coalesce(math.max(1, nParts / 8)))
+          .localCheckpoint(true)
+        nForest = forest.count()
+        mergeRounds += 1
       }
-      it.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      // snapshot keys BEFORE find(): path compression updates map values
-      val ks = parent.keys.toArray
-      ks.iterator.map(v => (find(v), v))
-    }.toDF("src", "dst").localCheckpoint(true)
-    val nForest = forest.count()
+    }
     if (nForest <= driverLocalMaxEdges) return clusterLocal(forest)
 
     // still too large for the driver: iterate min-label propagation over the

@@ -37,6 +37,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(out.forall(_.cluster_size == 41L))
   }
 
+  test("re-contraction collapses a partition-count-inflated forest (no distributed loop needed)") {
+    // One 300-member star family scattered over 50 partitions: pass-1
+    // contraction emits ~(members + one hub edge PER PARTITION) = ~349
+    // forest edges > cap 320, even though the graph itself needs only 300.
+    // The coalesce+re-contract round merges the per-partition trees
+    // (~305 ≤ 320) so the driver-local path is reached — the high-
+    // parallelism cliff measured at 9.1M turns (clusters 2.0 s at local[8]
+    // vs 9.7 s at local[32], purely from the forest spilling into the
+    // iterative loop).
+    val star = (1 until 300).map(i => ("v000", f"v$i%03d"))
+    val scattered = edgesDf(star).repartition(50)
+    val viaMerge = ConnectedComponents
+      .cluster(scattered, driverLocalMaxEdges = 320)
+      .collect().map(c => (c.conv_id, c.cluster_id, c.cluster_size)).toSet
+    val local = ConnectedComponents.cluster(edgesDf(star))
+      .collect().map(c => (c.conv_id, c.cluster_id, c.cluster_size)).toSet
+    assert(viaMerge == local)
+    assert(viaMerge.forall(t => t._2 == "v000" && t._3 == 300L))
+  }
+
   test("contraction path (edges over budget, forest under) agrees exactly") {
     // chain: 82 symmetric edges > cap 60 ≥ 41 forest edges → the partition-
     // local union-find contraction runs, then finishes driver-local
