@@ -189,7 +189,14 @@ object AnnIvf {
     * the dump pass and the query pass route identically). */
   def oracleTables(emb: DataFrame, nProbe: Int = 4,
                    nCentroids: Int = 0, seed: Long = 11L): Seq[(String, DataFrame)] = {
+    // ONE assignment pass feeds both dumps: without the eager checkpoint the
+    // shared unpersisted plan re-executes the full pass — emb.count() and
+    // centroid training included — per dump write (ADVICE r04). The
+    // checkpointed projection drops the wide `e` column, so the pinned
+    // blocks are the scalar routing surface only.
     val a = assignments(emb, nProbe, nCentroids, seed)
+      .select(col("vec_id"), col("cell"), col("probes"))
+      .localCheckpoint(true)
     Seq(
       "ann_ivf_cells" -> a.select(col("vec_id"), col("cell")),
       "ann_ivf_probes" -> a.select(col("vec_id").as("q_id"),

@@ -155,6 +155,12 @@ object LshJoin {
         explode(slice(col("members"), col("i") + lit(2),
           size(col("members")) - col("i") - lit(1))).as("conv_b"),
         col("band_id"), col("src"))
+      // defense-in-depth (ADVICE r04): conv_id is unique per bucket by key
+      // construction, but if a 64-bit band/variant key ever collided for the
+      // SAME doc, sorted-adjacent duplicates in `members` would emit a
+      // self-pair here — the old self-join's strict a < b was structurally
+      // immune, so keep that guarantee explicit (bridges already carry one)
+      .filter(col("conv_a") =!= col("conv_b"))
       .select(col("conv_a"), col("conv_b"), col("band_id"), col("src"))
 
     // bridge chain: consecutive sub-bucket representatives of over-cap

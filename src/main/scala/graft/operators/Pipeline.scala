@@ -100,8 +100,12 @@ object Pipeline {
                                 cfg: DedupConfig): String =
     (groups, cfg.groupGap) match {
       case (Some(g), Some(_)) =>
+        // coalesce: bit_xor over ZERO rows is NULL — an empty (but active)
+        // groups table is a legitimate input and must key deterministically,
+        // not throw (ADVICE r04); the row count disambiguates empty from a
+        // table that happens to xor to 0
         val r = g.select(
-          bit_xor(xxhash64(col("conv_id"), col("group_id"))).as("s"),
+          coalesce(bit_xor(xxhash64(col("conv_id"), col("group_id"))), lit(0L)).as("s"),
           count(lit(1)).as("n")).head()
         f"-g${r.getLong(0)}%016x_${r.getLong(1)}"
       case _ => ""

@@ -274,6 +274,21 @@ object StreamingDedup {
       .foreachBatch { (batch: Dataset[ConvFingerprint], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
+        // Idempotency under foreachBatch re-delivery (ADVICE r04): the
+        // batchlog row is the batch's commit marker — a batch that already
+        // logged is never re-applied, so a retried delivery cannot inflate
+        // the append-only stores or the O(|delta|) work ledger. (The log is
+        // one row per batch, so this probe scans a tiny table. A crash
+        // BETWEEN appends can still leave a partial batch — exactly-once
+        // needs a transactional seam like Iceberg — but the common
+        // redelivery-after-success path is closed, and every partial-state
+        // append is individually harmless: dup fingerprints collapse in
+        // latestPerConv, dup band rows only re-nominate candidates, and
+        // pairs are anti-joined against the store.)
+        val alreadyApplied = provider.exists(spark, logTbl) &&
+          !provider.read(spark, logTbl)
+            .filter(col("batch_id") === batchId).isEmpty
+        if (!alreadyApplied) {
         val delta = latestPerConv(batch.toDF()).localCheckpoint(true)
         val nDelta = delta.count()
         if (nDelta > 0) {
@@ -334,6 +349,7 @@ object StreamingDedup {
               java.time.Instant.now.toString)).toDF(),
             logTbl)
         }
+        } // !alreadyApplied
         ()
       }.start()
   }
