@@ -518,13 +518,16 @@ object SparkEntry {
          FROM j GROUP BY 1, 2""",
     // Full SQL replay of the LSH candidate join over the dumped signature
     // surface: band-key collisions → ≥2-band-hit prefilter (bundle-exempt)
-    // → b-bit-minwise estimate filter at 0.5 → per-doc top-64 cap windows.
-    // Pair orientation replicates the join's STRING comparison of conv ids;
-    // floor(x*1e6+0.5)/1e6 replicates Spark's HALF_UP round(est, 6) (est is
-    // always a multiple of 1/128, exact in binary). No salted buckets at
-    // this corpus size, so the bridge path contributes nothing (the Spark
-    // side would emit source='...bridge' rows and fail the compare if that
-    // ever changed).
+    // → DEBIASED 8-bit b-bit-minwise estimate filter at 0.5 → per-doc
+    // top-64 cap windows. est_raw = (eq/n − 2⁻⁸)/(1 − 2⁻⁸) clamped at 0 is
+    // bit-identical to the Spark kernel (eq/n and 2⁻⁸ are dyadic, the final
+    // division correctly rounded in both engines). Pair orientation
+    // replicates the join's STRING comparison of conv ids;
+    // floor(x*1e6+0.5)/1e6 replicates Spark's HALF_UP round(est, 6)
+    // (est_raw's 1e6-multiples sit ≥0.0019 from any .5 boundary — the
+    // granularity is k/255). No salted buckets at this corpus size, so the
+    // bridge path contributes nothing (the Spark side would emit
+    // source='...bridge' rows and fail the compare if that ever changed).
     "minhash_docs_lsh" ->
       """WITH bands AS (
            SELECT doc_id, band_key
@@ -533,8 +536,8 @@ object SparkEntry {
            SELECT doc_id, v_id, v_hash
            FROM read_parquet('{GRAFT_OUT}/minhash_doc_variants/*.parquet')),
          sigs AS (
-           SELECT doc_id, pos, m32
-           FROM read_parquet('{GRAFT_OUT}/minhash_doc_sigs32/*.parquet')),
+           SELECT doc_id, pos, m8
+           FROM read_parquet('{GRAFT_OUT}/minhash_doc_sigs8/*.parquet')),
          lsh AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS lsh_hits
            FROM bands a JOIN bands b
@@ -558,7 +561,7 @@ object SparkEntry {
          eqs AS (
            SELECT f.doc_a, f.doc_b, min(f.lsh_hits) AS lsh_hits,
                   min(f.has_bundle) AS has_bundle,
-                  sum(CASE WHEN sa.m32 = sb.m32 THEN 1 ELSE 0 END) AS eq,
+                  sum(CASE WHEN sa.m8 = sb.m8 THEN 1 ELSE 0 END) AS eq,
                   count(*) AS n
            FROM filt f
            JOIN sigs sa ON sa.doc_id = f.doc_a
@@ -566,13 +569,15 @@ object SparkEntry {
            GROUP BY 1, 2),
          surv AS (
            SELECT doc_a, doc_b, lsh_hits, has_bundle,
-                  eq::DOUBLE / n AS est_raw,
-                  floor(eq * 1000000.0 / n + 0.5) / 1000000.0 AS minhash_est,
+                  greatest(0.0, (eq::DOUBLE / n - 1.0/256) / (1.0 - 1.0/256)) AS est_raw,
+                  floor(greatest(0.0, (eq::DOUBLE / n - 1.0/256) / (1.0 - 1.0/256))
+                        * 1000000.0 + 0.5) / 1000000.0 AS minhash_est,
                   CASE WHEN lsh_hits > 0 AND has_bundle = 1 THEN 'lsh+bundle'
                        WHEN lsh_hits > 0 THEN 'lsh' ELSE 'bundle' END AS source,
                   doc_a::VARCHAR || '|' || doc_b::VARCHAR AS pair_key
            FROM eqs
-           WHERE eq::DOUBLE / n >= 0.5 OR has_bundle = 1),
+           WHERE greatest(0.0, (eq::DOUBLE / n - 1.0/256) / (1.0 - 1.0/256)) >= 0.5
+              OR has_bundle = 1),
          rk AS (
            SELECT *,
              row_number() OVER (PARTITION BY doc_a ORDER BY
@@ -585,16 +590,17 @@ object SparkEntry {
          SELECT doc_a, doc_b, minhash_est, source
          FROM rk WHERE rk_a <= 64 OR rk_b <= 64""",
     // Full SQL replay of the PIPELINE's candidate stage over the dumped
-    // signature surface (pipe_bands/pipe_variants/pipe_sigs32): band + exact-
-    // variant collisions → ≥2-band-hit prefilter (bundle-exempt) → b-bit
-    // estimate filter at simThreshold=0.25 → per-doc top-64 cap windows.
-    // band_id provenance: min colliding band index, −1 whenever a bundle
-    // variant participates (the Spark groupBy min() sees the variant rows'
-    // −1). minhash_est = eq/128 is dyadic-exact in both engines — no
-    // rounding needed. No salted buckets at this corpus size, so the
-    // bridge/salt path contributes nothing (the Spark side would emit
-    // source='…+bridge' rows and sub-bucket-restricted pairs, failing this
-    // compare if that ever changed).
+    // signature surface (pipe_bands/pipe_variants/pipe_sigs8): band + exact-
+    // variant collisions → ≥2-band-hit prefilter (bundle-exempt) → DEBIASED
+    // 8-bit b-bit estimate filter at simThreshold=0.25 → per-doc top-64 cap
+    // windows. band_id provenance: min colliding band index, −1 whenever a
+    // bundle variant participates (the Spark groupBy min() sees the variant
+    // rows' −1). minhash_est = (eq/128 − 2⁻⁸)/(1 − 2⁻⁸) clamped at 0 is
+    // bit-identical in both engines (dyadic inputs, one correctly-rounded
+    // division) — no rounding needed. No salted buckets at this corpus
+    // size, so the bridge/salt path contributes nothing (the Spark side
+    // would emit source='…+bridge' rows and sub-bucket-restricted pairs,
+    // failing this compare if that ever changed).
     "flag_dedup_candidates" ->
       """WITH bands AS (
            SELECT conv_id, band_id, band_key
@@ -603,8 +609,8 @@ object SparkEntry {
            SELECT conv_id, v_id, v_hash
            FROM read_parquet('{GRAFT_OUT}/pipe_variants/*.parquet')),
          sigs AS (
-           SELECT conv_id, pos, m32
-           FROM read_parquet('{GRAFT_OUT}/pipe_sigs32/*.parquet')),
+           SELECT conv_id, pos, m8
+           FROM read_parquet('{GRAFT_OUT}/pipe_sigs8/*.parquet')),
          lsh AS (
            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
                   count(*) AS lsh_hits, min(a.band_id) AS min_band
@@ -630,7 +636,7 @@ object SparkEntry {
          eqs AS (
            SELECT f.conv_a, f.conv_b, min(f.band_id) AS band_id,
                   min(f.lsh_hits) AS lsh_hits, min(f.has_bundle) AS has_bundle,
-                  sum(CASE WHEN sa.m32 = sb.m32 THEN 1 ELSE 0 END) AS eq,
+                  sum(CASE WHEN sa.m8 = sb.m8 THEN 1 ELSE 0 END) AS eq,
                   count(*) AS n
            FROM filt f
            JOIN sigs sa ON sa.conv_id = f.conv_a
@@ -638,12 +644,15 @@ object SparkEntry {
            GROUP BY 1, 2),
          surv AS (
            SELECT conv_a, conv_b, band_id,
-                  eq::DOUBLE / n AS minhash_est, lsh_hits, has_bundle,
+                  greatest(0.0, (eq::DOUBLE / n - 1.0/256) / (1.0 - 1.0/256))
+                    AS minhash_est,
+                  lsh_hits, has_bundle,
                   CASE WHEN lsh_hits > 0 AND has_bundle = 1 THEN 'lsh+bundle'
                        WHEN lsh_hits > 0 THEN 'lsh' ELSE 'bundle' END AS source,
                   conv_a || '|' || conv_b AS pair_key
            FROM eqs
-           WHERE eq::DOUBLE / n >= 0.25 OR has_bundle = 1),
+           WHERE greatest(0.0, (eq::DOUBLE / n - 1.0/256) / (1.0 - 1.0/256)) >= 0.25
+              OR has_bundle = 1),
          rk AS (
            SELECT *,
              row_number() OVER (PARTITION BY conv_a ORDER BY

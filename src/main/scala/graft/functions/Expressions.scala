@@ -45,6 +45,14 @@ object Expr0 {
   def minhashEst32(a: ArrayData, b: ArrayData): Double =
     TextKernel.minhashEstimate32(a.toIntArray(), b.toIntArray())
 
+  def packLowBytes(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = a.getLong(i).toByte; i += 1 }
+    out
+  }
+
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int), Array[Double]]()
 
@@ -228,6 +236,38 @@ case class MinhashEst32Expr(left: Expression, right: Expression)
   override def prettyName: String = "minhash_est32"
 }
 
+/** pack_low_bytes(array<long>): low 8 bits of each signature component as a
+  * packed binary — the 8-bit b-bit minwise payload the candidate scoring
+  * join ships per endpoint (numPerms BYTES instead of numPerms ints: the
+  * conv_b signature exchange was the candidate stage's attributed byte
+  * wall). */
+case class PackLowBytes(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    Expr0.packLowBytes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Expr0.packLowBytes($c)")
+  override protected def withNewChildInternal(c: Expression): PackLowBytes = copy(c)
+  override def prettyName: String = "pack_low_bytes"
+}
+
+/** minhash_est8(a, b): debiased 8-bit b-bit minwise estimate over packed
+  * low-byte signatures (TextKernel.minhashEstimate8) — quarter the scoring
+  * join's shuffle bytes vs the 32-bit path at O(2⁻⁸) added variance. */
+case class MinhashEst8Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernel.minhashEstimate8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernel.minhashEstimate8($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinhashEst8Expr =
+    copy(left = l, right = r)
+  override def prettyName: String = "minhash_est8"
+}
+
 /** Column-API facade + SQL registration for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
@@ -246,6 +286,9 @@ object GraftFunctions {
     column(MinhashEstExpr(expression(a), expression(b)))
   def minhash_est32(a: Column, b: Column): Column =
     column(MinhashEst32Expr(expression(a), expression(b)))
+  def pack_low_bytes(c: Column): Column = column(PackLowBytes(expression(c)))
+  def minhash_est8(a: Column, b: Column): Column =
+    column(MinhashEst8Expr(expression(a), expression(b)))
   def hyperplane_sig(c: Column, nPlanes: Int = 8, seed: Long = 7L): Column =
     column(HyperplaneSig(expression(c), nPlanes, seed))
 
@@ -259,6 +302,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("dot_arr", es => DotArr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_est", es => MinhashEstExpr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_est32", es => MinhashEst32Expr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pack_low_bytes", es => PackLowBytes(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_est8", es => MinhashEst8Expr(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_sig", es => HyperplaneSig(es.head, 8, 7L), "scala_udf")
   }
 }

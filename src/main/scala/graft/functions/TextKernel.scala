@@ -177,6 +177,24 @@ object TextKernel {
     eq.toDouble / n
   }
 
+  /** 8-bit b-bit minwise estimate (Li & König, WWW 2010 §3) over packed
+    * low-byte signature components: a position false-matches with
+    * probability C₈ = 2⁻⁸ when the full components differ, so the raw
+    * agreement fraction is debiased as (raw − C₈)/(1 − C₈) — an unbiased
+    * estimator of J (clamped at 0), keeping every downstream threshold's
+    * meaning while shipping ONE BYTE per position through the candidate
+    * join's dominant shuffle. Every arithmetic step is IEEE-exact up to the
+    * final correctly-rounded division (raw and C₈ are dyadic), so a DuckDB
+    * replay computing the same expression is bit-identical. */
+  def minhashEstimate8(sa: Array[Byte], sb: Array[Byte]): Double = {
+    val n = math.min(sa.length, sb.length)
+    if (n == 0) return 0.0
+    var eq = 0; var i = 0
+    while (i < n) { if (sa(i) == sb(i)) eq += 1; i += 1 }
+    val c8 = 1.0 / 256.0
+    math.max(0.0, (eq.toDouble / n - c8) / (1.0 - c8))
+  }
+
   /**
    * LSH band keys: signature split into b bands of r rows, each band hashed
    * to one 64-bit key mixed with the band index (so identical row values in

@@ -83,11 +83,11 @@ object DocDedup {
   }
 
   /** Oracle dump tables: the signature surface the LSH candidate join
-    * consumes — per-band keys, bundle variants, and the 32-bit-truncated
-    * signature components — so the ENTIRE join pipeline (band collisions →
-    * min-band-hits prefilter → b-bit estimate filter → per-doc cap windows)
-    * can be replayed as pure SQL in DuckDB and compared hash-exact against
-    * `minhash_docs_lsh`. */
+    * consumes — per-band keys, bundle variants, and the 8-bit signature
+    * components the scoring join ships — so the ENTIRE join pipeline (band
+    * collisions → min-band-hits prefilter → debiased b-bit estimate filter →
+    * per-doc cap windows) can be replayed as pure SQL in DuckDB and compared
+    * hash-exact against `minhash_docs_lsh`. */
   def minhashLshOracleTables(spark: SparkSession,
                              docs: DataFrame): Seq[(String, DataFrame)] = {
     val sigs = docSigs(spark, docs).select(
@@ -98,11 +98,12 @@ object DocDedup {
         posexplode(col("bands")).as(Seq("band_id", "band_key"))),
       "minhash_doc_variants" -> sigs.select(col("doc_id"),
         posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash"))),
-      // the same low-32-bit sign-extended truncation the scoring join ships
-      "minhash_doc_sigs32" -> sigs
+      // the same low-byte truncation the scoring join packs (0-255 as int:
+      // byte equality in the kernel ⟺ m8 equality here)
+      "minhash_doc_sigs8" -> sigs
         .select(col("doc_id"), posexplode(col("minhash")).as(Seq("pos", "m64")))
         .select(col("doc_id"), col("pos"),
-          shiftright(shiftleft(col("m64"), 32), 32).cast("int").as("m32")))
+          col("m64").bitwiseAND(lit(255L)).cast("int").as("m8")))
   }
 
   /** Embedding LSH bucketing (random-hyperplane signs): bucket by sign

@@ -251,30 +251,38 @@ object LshJoin {
       .drop("lsh_hits", "has_bundle", "has_bridge")
 
     // Signatures join in only now — per unique pair, not per band row — and
-    // as 32-bit-truncated components (b-bit minwise hashing, Li & König WWW
-    // 2010): equality of the kept high-32 bits false-matches a position with
-    // p = 2⁻³² (vanishing against the 1/numPerms estimate granularity), and
-    // array<int> HALVES the bytes of the candidate stage's dominant shuffle
-    // (the conv_b exchange ships one signature per surviving pair). The
-    // LOW 32 bits are kept (robust even for low-entropy integer inputs,
-    // where high bits are constant); the shiftleft/shiftright pair
-    // sign-extends so the int cast is ANSI-safe.
+    // as b-bit minwise components (Li & König WWW 2010). Default estBits=8:
+    // packed LOW BYTES ship as ONE binary of numPerms bytes per endpoint —
+    // a QUARTER of the 32-bit path's array<int>, which was itself the
+    // candidate stage's attributed byte wall (the conv_b exchange ships one
+    // signature per surviving pair: measured 803 MB at 100k convs on the
+    // 32-bit path, with taskTime/cpuTime ≈ 2.3 memory-stall inflation).
+    // A position false-matches with p = 2⁻ᵇ; the 8-bit estimator is
+    // DEBIASED inside minhash_est8 so minhash_est still estimates J and
+    // downstream thresholds keep their meaning (estBits=32's 2⁻³² needs no
+    // debias). LOW bits are kept (robust even for low-entropy integer
+    // inputs, where high bits are constant); on the 32 path the
+    // shiftleft/shiftright pair sign-extends so the int cast is ANSI-safe.
     // SHUFFLE_HASH on the signature side: a sort-merge join must SORT the
     // fat (pair+signature) stream — measured 2.1 GB of sort spill at 100k
     // docs — while a shuffled hash join builds its map on the narrow
     // signature shard (|docs|·~550 B / shuffle-partition, the quantity
     // shuffle.partitions is sized by at scale) and streams the fat side
     // unsorted; the join's hash partitioning still feeds the cap windows.
+    val use8 = cfg.estBits == 8
     val mh = sigs.select($"conv_id",
-      transform($"minhash",
-        v => shiftright(shiftleft(v, 32), 32).cast("int")).as("mh32"))
+      (if (use8) graft.functions.GraftFunctions.pack_low_bytes($"minhash")
+       else transform($"minhash",
+         v => shiftright(shiftleft(v, 32), 32).cast("int"))).as("mhb"))
+    val est: (Column, Column) => Column =
+      if (use8) graft.functions.GraftFunctions.minhash_est8
+      else graft.functions.GraftFunctions.minhash_est32
     val scored = uniquePairs
-      .join(mh.select($"conv_id".as("conv_a"), $"mh32".as("ma"))
+      .join(mh.select($"conv_id".as("conv_a"), $"mhb".as("ma"))
         .hint("shuffle_hash"), "conv_a")
-      .join(mh.select($"conv_id".as("conv_b"), $"mh32".as("mb"))
+      .join(mh.select($"conv_id".as("conv_b"), $"mhb".as("mb"))
         .hint("shuffle_hash"), "conv_b")
-      .withColumn("minhash_est",
-        graft.functions.GraftFunctions.minhash_est32(col("ma"), col("mb")))
+      .withColumn("minhash_est", est(col("ma"), col("mb")))
       // F1 threshold predicate; bundle hits always survive (exact-dup path),
       // and so do BRIDGES — a bridge is the only connectivity between the
       // salted sub-buckets of an over-cap family (salt is conv_id-keyed, so
@@ -342,21 +350,23 @@ object LshJoin {
   }
 
   /** The signature surface `candidates` consumes, exploded to scalar rows —
-    * per-band keys, bundle-variant fingerprints, and the 32-bit-truncated
-    * signature components — so the ENTIRE candidate join (band collisions →
-    * min-band-hits prefilter → b-bit estimate filter → per-doc cap windows)
-    * can be replayed as pure SQL in DuckDB and compared hash-exact against
-    * `flag_dedup_candidates` (graft.Verify dumps these next to the query
-    * outputs; the docs-table twin is DocDedup.minhashLshOracleTables). */
+    * per-band keys, bundle-variant fingerprints, and the 8-bit signature
+    * components the scoring join ships — so the ENTIRE candidate join (band
+    * collisions → min-band-hits prefilter → debiased b-bit estimate filter →
+    * per-doc cap windows) can be replayed as pure SQL in DuckDB and compared
+    * hash-exact against `flag_dedup_candidates` (graft.Verify dumps these
+    * next to the query outputs; the docs-table twin is
+    * DocDedup.minhashLshOracleTables). m8 = low byte as 0-255 int: byte
+    * equality in the packed kernel ⟺ (m64 & 255) equality here. */
   def oracleSurface(sigs: Dataset[DocSig]): Seq[(String, DataFrame)] = Seq(
     "pipe_bands" -> sigs.select(col("conv_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_key"))),
     "pipe_variants" -> sigs.select(col("conv_id"),
       posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash"))),
-    "pipe_sigs32" -> sigs
+    "pipe_sigs8" -> sigs
       .select(col("conv_id"), posexplode(col("minhash")).as(Seq("pos", "m64")))
       .select(col("conv_id"), col("pos"),
-        shiftright(shiftleft(col("m64"), 32), 32).cast("int").as("m32")))
+        col("m64").bitwiseAND(lit(255L)).cast("int").as("m8")))
 
   /** Bucket-size funnel stats (A4 analog of the reference's logged
     * O(n²)→O(Σb²) reduction, ai_...AUTO.py:4026-4031). Standalone-job

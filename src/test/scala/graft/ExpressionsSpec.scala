@@ -74,6 +74,45 @@ class ExpressionsSpec extends SparkSpec {
     assert(TextKernel.minhashEstimate32(Array.empty, Array.empty) == 0.0)
   }
 
+  test("pack_low_bytes + minhash_est8: debiased 8-bit b-bit minwise estimate") {
+    import spark.implicits._
+    val pack = GraftFunctions.pack_low_bytes _
+    // identical signatures → est exactly 1.0 (debias maps raw 1 → 1)
+    val a = Array.tabulate(128)(i => graft.functions.Hashing.mix64(i.toLong))
+    val same = Seq((a, a)).toDF("a", "b")
+    assert(same.select(GraftFunctions.minhash_est8(pack($"a"), pack($"b")))
+      .head().getDouble(0) == 1.0)
+    // 96/128 agreeing full components → raw ≥ 96/128 (low-byte false matches
+    // can only ADD); debiased est = (raw − 2⁻⁸)/(1 − 2⁻⁸) exactly
+    val b = Array.tabulate(128)(i =>
+      if (i < 96) a(i) else graft.functions.Hashing.mix64(1000L + i))
+    val est8 = Seq((a, b)).toDF("a", "b")
+      .select(GraftFunctions.minhash_est8(pack($"a"), pack($"b")))
+      .head().getDouble(0)
+    val eq = (0 until 128).count(i => (a(i) & 255L) == (b(i) & 255L))
+    assert(eq >= 96)
+    assert(est8 == math.max(0.0, (eq / 128.0 - 1.0 / 256) / (1.0 - 1.0 / 256)))
+    assert(math.abs(est8 - 96.0 / 128) < 3.0 / 128,
+      "false-match inflation must stay within a few positions")
+    // disjoint low bytes → raw 0 → debias clamps at 0 (never negative)
+    val z1 = Array.tabulate(128)(_ => 0x0101L)
+    val z2 = Array.tabulate(128)(_ => 0x0202L)
+    assert(Seq((z1, z2)).toDF("a", "b")
+      .select(GraftFunctions.minhash_est8(pack($"a"), pack($"b")))
+      .head().getDouble(0) == 0.0)
+    // packed payload is numPerms BYTES (the shuffle-width contract)
+    val packed = Seq(Tuple1(a)).toDF("a").select(pack($"a"))
+      .head().getAs[Array[Byte]](0)
+    assert(packed.length == 128)
+    assert(packed(0) == (a(0) & 0xFFL).toByte)
+    // kernel contract: empty input → 0.0, not a throw
+    assert(TextKernel.minhashEstimate8(Array.empty, Array.empty) == 0.0)
+    // survives a codegen'd plan (filter + projection fused)
+    assert(Seq((a, b)).toDF("a", "b")
+      .filter(GraftFunctions.minhash_est8(pack($"a"), pack($"b")) > 0.5)
+      .count() == 1)
+  }
+
   test("jaccard_sorted expression equals kernel") {
     import spark.implicits._
     val df = Seq((Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L, 6L))).toDF("a", "b")
