@@ -30,6 +30,21 @@ trait TableProvider {
     * parquet dirs: additional part files, earlier files untouched). */
   def append(df: DataFrame, table: String): Unit
 
+  /** Append with a partition layout on `cols`, creating the table with that
+    * layout if absent — the keyed-lookup primitive: readers that filter on
+    * the partition columns scan only matching partitions (parquet dirs:
+    * hive-style directory pruning; Iceberg: partition-spec pruning from
+    * manifest metadata). Formats without layout support may fall back to a
+    * plain append (pruning then degrades to a full scan, semantics
+    * unchanged). */
+  def appendPartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit =
+    append(df, table)
+
+  /** Overwrite with a partition layout on `cols` (the compaction sibling of
+    * [[appendPartitioned]]). */
+  def writePartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit =
+    write(df, table)
+
   /** True if the table exists and is complete (committed). */
   def exists(spark: SparkSession, table: String): Boolean
 
@@ -60,6 +75,12 @@ final class ParquetDirProvider(root: String, suffix: String = ".parquet") extend
   override def append(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path(table))
 
+  override def appendPartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(cols: _*).parquet(path(table))
+
+  override def writePartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path(table))
+
   override def exists(spark: SparkSession, table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(table), "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -87,6 +108,19 @@ final class IcebergCatalogProvider(catalog: String, namespace: String) extends T
   override def append(df: DataFrame, table: String): Unit =
     if (exists(df.sparkSession, table)) df.writeTo(fqn(table)).append()
     else df.writeTo(fqn(table)).using("iceberg").create()
+
+  override def appendPartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit =
+    if (exists(df.sparkSession, table)) df.writeTo(fqn(table)).append()
+    else df.writeTo(fqn(table)).using("iceberg")
+      .partitionedBy(org.apache.spark.sql.functions.col(cols.head),
+        cols.tail.map(org.apache.spark.sql.functions.col): _*)
+      .create()
+
+  override def writePartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit =
+    df.writeTo(fqn(table)).using("iceberg")
+      .partitionedBy(org.apache.spark.sql.functions.col(cols.head),
+        cols.tail.map(org.apache.spark.sql.functions.col): _*)
+      .createOrReplace()
 
   override def exists(spark: SparkSession, table: String): Boolean =
     // probe must not throw when the catalog itself is absent/misconfigured

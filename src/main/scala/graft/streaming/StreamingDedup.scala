@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.{Hashing, TextKernel}
@@ -232,9 +232,37 @@ object StreamingDedup {
   }
 
   /** Per-batch work ledger for the incremental store (S5 lineage analog and
-    * the O(|delta|) evidence the scale contract rests on). */
+    * the O(|delta|) evidence the scale contract rests on).
+    * `n_store_files_scanned` records how many band-store part files the
+    * batch's candidate join actually opened AFTER bucket pruning — the
+    * bounded-I/O evidence (StreamingSpec asserts it stays flat while
+    * unrelated buckets grow). */
   case class BatchWork(batch_id: Long, n_delta: Long, n_delta_band_rows: Long,
-                       n_cand_ids: Long, n_new_pairs: Long, ts: String)
+                       n_cand_ids: Long, n_new_pairs: Long,
+                       n_store_files_scanned: Long, ts: String)
+
+  /** Band-store partition-layout bucket of a band key: the store is laid
+    * out as `bucket = pmod(bkey, storeBuckets)` partitions so a delta's
+    * candidate join prunes to the directories its keys can possibly match
+    * — the parquet-seam analog of an Iceberg `bucket(N, bkey)` spec
+    * (reference analog: the per-file cache's keyed lookups,
+    * similarity_engine.py:40-62, which never rescan unrelated entries). */
+  private def bandBucket(bkey: Column, storeBuckets: Int): Column =
+    pmod(bkey, lit(storeBuckets.toLong)).cast("int")
+
+  /** Bucket-pruned view of the accumulated band store for a batch delta:
+    * directory-level partition pruning on the delta's bucket set (≤
+    * storeBuckets values, computed FROM the delta — one tiny distinct).
+    * A legacy unpartitioned store (no `bucket` column) degrades to a full
+    * scan with identical semantics. bkey-level IN-pushdown is deliberately
+    * NOT attempted on the parquet seam — Spark only pushes tiny IN lists
+    * into parquet (spark.sql.parquet.pushdown.inFilterThreshold) and a
+    * band-key range is useless for xxhash-uniform keys; on Iceberg the
+    * bucket transform gives the keyed lookup directly. */
+  private def prunedBandStore(store: DataFrame, deltaBuckets: Seq[Int]): DataFrame =
+    if (!store.columns.contains("bucket")) store.select("conv_id", "bkey")
+    else store.where(col("bucket").isin(deltaBuckets: _*))
+      .select("conv_id", "bkey")
 
   /**
    * foreachBatch wiring of the handoff — incremental-store shape (VERDICT
@@ -250,15 +278,17 @@ object StreamingDedup {
    *   {pairsTbl}_batchlog  one BatchWork row per batch
    *
    * Per-batch cost: band-key computation O(|delta|·(bands+4)); the band join
-   * streams the store's band table through a broadcast-hash join against the
-   * delta's keys (scan, no shuffle, no recompute — on a cluster this table
-   * is an Iceberg table bucketed by bkey, so the scan itself prunes);
-   * fingerprint evidence is fetched ONLY for matched conv_ids (broadcast
-   * semi-join pushdown into the log scan); the already-seen-pair check prunes
-   * the pairs table to rows touching matched convs before a broadcast
-   * anti-join. A conversation whose fingerprint grows across batches appends
-   * fresh band rows; its stale rows only ever produce extra candidate ids,
-   * which the evidence join re-scores against the LATEST fingerprints.
+   * streams the BUCKET-PRUNED store band table through a broadcast-hash join
+   * against the delta's keys (no shuffle, no recompute — the store is laid
+   * out as pmod(bkey, storeBuckets) partitions, so only directories the
+   * delta's keys can match are opened; an Iceberg seam does the same via a
+   * bucket(N, bkey) spec with manifest pruning); fingerprint evidence is
+   * fetched ONLY for matched conv_ids (broadcast semi-join pushdown into
+   * the log scan); the already-seen-pair check prunes the pairs table to
+   * rows touching matched convs before a broadcast anti-join. A
+   * conversation whose fingerprint grows across batches appends fresh band
+   * rows; its stale rows only ever produce extra candidate ids, which the
+   * evidence join re-scores against the LATEST fingerprints.
    * Reference analog: the incremental cache reuse that re-runs only new
    * inputs (/root/reference/ai_pdf_panel_duplicate_check_AUTO.py:3356-3383).
    */
@@ -266,7 +296,8 @@ object StreamingDedup {
                        provider: graft.sources.TableProvider,
                        storeTbl: String, pairsTbl: String,
                        cfg: DedupConfig = DedupConfig.balanced,
-                       maxDist: Int = 3)
+                       maxDist: Int = 3,
+                       storeBuckets: Int = 256)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val bandsTbl = s"${storeTbl}_bands"
     val logTbl = s"${pairsTbl}_batchlog"
@@ -292,19 +323,33 @@ object StreamingDedup {
         val delta = latestPerConv(batch.toDF()).localCheckpoint(true)
         val nDelta = delta.count()
         if (nDelta > 0) {
-          val deltaBands = bandRows(delta, cfg).localCheckpoint(true)
+          val deltaBands = bandRows(delta, cfg)
+            .withColumn("bucket", bandBucket(col("bkey"), storeBuckets))
+            .localCheckpoint(true)
           val nDeltaBands = deltaBands.count()
-          val dNew = broadcast(deltaBands.toDF("conv_new", "bkey"))
-          // delta vs maintained band store (scan-only big side) + delta vs
-          // itself (dups arriving in the same batch must still pair)
+          val dNew = broadcast(deltaBands
+            .select(col("conv_id").as("conv_new"), col("bkey")))
+          // delta vs maintained band store (bucket-pruned scan-only big
+          // side) + delta vs itself (dups arriving in the same batch must
+          // still pair). The pruned scan's actual file count is ledgered —
+          // it is the bounded-I/O evidence; counting distinct file names
+          // over the pruned view reads zero data columns (footers only).
+          val deltaBuckets = deltaBands.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          var nStoreFiles = 0L
           val crossIds =
-            if (provider.exists(spark, bandsTbl))
-              dNew.join(provider.read(spark, bandsTbl).toDF("conv_old", "bkey"),
-                "bkey").select(col("conv_new"), col("conv_old"))
-            else spark.emptyDataset[(String, String)]
+            if (provider.exists(spark, bandsTbl)) {
+              val pruned = prunedBandStore(
+                provider.read(spark, bandsTbl), deltaBuckets)
+              nStoreFiles = pruned.select(input_file_name().as("f"))
+                .distinct().count()
+              dNew.join(pruned.toDF("conv_old", "bkey"), "bkey")
+                .select(col("conv_new"), col("conv_old"))
+            } else spark.emptyDataset[(String, String)]
               .toDF("conv_new", "conv_old")
           val selfIds = dNew
-            .join(deltaBands.toDF("conv_old", "bkey"), "bkey")
+            .join(deltaBands.select(col("conv_id").as("conv_old"), col("bkey")),
+              "bkey")
             .select(col("conv_new"), col("conv_old"))
           val candIds = crossIds.unionByName(selfIds)
             .filter(col("conv_new") =!= col("conv_old"))
@@ -343,10 +388,10 @@ object StreamingDedup {
             n
           } else 0L
           provider.append(delta, storeTbl)
-          provider.append(deltaBands, bandsTbl)
+          provider.appendPartitioned(deltaBands, bandsTbl, Seq("bucket"))
           provider.append(
             Seq(BatchWork(batchId, nDelta, nDeltaBands, nCand, nFresh,
-              java.time.Instant.now.toString)).toDF(),
+              nStoreFiles, java.time.Instant.now.toString)).toDF(),
             logTbl)
         }
         } // !alreadyApplied
@@ -367,14 +412,22 @@ object StreamingDedup {
   def compactStore(spark: org.apache.spark.sql.SparkSession,
                    provider: graft.sources.TableProvider,
                    storeTbl: String, pairsTbl: String,
-                   cfg: DedupConfig = DedupConfig.balanced): Unit = {
+                   cfg: DedupConfig = DedupConfig.balanced,
+                   storeBuckets: Int = 256): Unit = {
     val bandsTbl = s"${storeTbl}_bands"
     if (provider.exists(spark, storeTbl)) {
       val latest = latestPerConv(provider.read(spark, storeTbl))
         .localCheckpoint(true)
       provider.write(latest, storeTbl)
-      val bands = bandRows(latest, cfg).localCheckpoint(true)
-      provider.write(bands, bandsTbl)
+      // rebuilt in the SAME bucket layout the incremental appends use, and
+      // repartitioned so each bucket lands in exactly one task → ONE part
+      // file per bucket: after compaction a delta's pruned scan opens at
+      // most |delta buckets| files no matter how large the store has grown
+      val bands = bandRows(latest, cfg)
+        .withColumn("bucket", bandBucket(col("bkey"), storeBuckets))
+        .repartition(storeBuckets, col("bucket"))
+        .localCheckpoint(true)
+      provider.writePartitioned(bands, bandsTbl, Seq("bucket"))
     }
     if (provider.exists(spark, pairsTbl)) {
       val pairs = provider.read(spark, pairsTbl)

@@ -143,11 +143,15 @@ class StreamingSpec extends SparkSpec {
     val keysPerConv = cfg.bands + 4 // LSH bands + 4 simhash chunks
     def text(seed: Int) =
       (0 until 40).map(i => graft.sources.ConversationGen.word(seed + i * 7 % 800)).mkString(" ")
+    // walks bucket=N partition subdirs (the band store's pruning layout)
     def partFiles(tbl: String): Map[String, Long] = {
-      val d = new java.io.File(s"$dir/$tbl")
-      Option(d.listFiles()).getOrElse(Array.empty)
+      def walk(d: java.io.File): Array[java.io.File] = {
+        val fs = Option(d.listFiles()).getOrElse(Array.empty)
+        fs.filter(_.isFile) ++ fs.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(s"$dir/$tbl"))
         .filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.length()).toMap
+        .map(f => s"${f.getParentFile.getName}/${f.getName}" -> f.length()).toMap
     }
     val input = MemoryStream[Turn]
     val q = StreamingDedup.startIncremental(
@@ -215,6 +219,80 @@ class StreamingSpec extends SparkSpec {
         .select($"conv_a", $"conv_b").as[(String, String)].collect().toSeq
       assert(pairs2.contains(("c2", "c6")),
         s"handoff must keep pairing against the compacted store: $pairs2")
+    } finally q.stop()
+  }
+
+  test("band-store bucket pruning: per-batch scanned files stay bounded as the store grows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.DedupConfig
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_").toString
+    val provider = new graft.sources.ParquetDirProvider(dir, "")
+    val cfg = DedupConfig.balanced
+    val storeBuckets = 256
+    val keysPerConv = cfg.bands + 4
+    def text(seed: Int) =
+      (0 until 40).map(i => graft.sources.ConversationGen.word(seed + i * 7 % 800)).mkString(" ")
+    def totalBandFiles: Long = {
+      def walk(d: java.io.File): Array[java.io.File] = {
+        val fs = Option(d.listFiles()).getOrElse(Array.empty)
+        fs.filter(_.isFile) ++ fs.filter(_.isDirectory).flatMap(walk)
+      }
+      walk(new java.io.File(s"$dir/fp_store_bands"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    def scannedFiles(batchIdx: Int): Long =
+      provider.read(spark, "dup_pairs_batchlog").orderBy($"batch_id")
+        .select($"n_store_files_scanned").as[Long].collect()(batchIdx)
+    val input = MemoryStream[Turn]
+    val q = StreamingDedup.startIncremental(
+      StreamingDedup.incrementalFingerprints(input.toDS()),
+      provider, "fp_store", "dup_pairs", cfg, 3, storeBuckets)
+    try {
+      // phase A: grow the store (2 batches × 4 distinct convs), then compact
+      input.addData((0 until 4).map(i => turn(s"a$i", 0, text(100 + 997 * i))): _*)
+      q.processAllAvailable()
+      input.addData((4 until 8).map(i => turn(s"a$i", 0, text(100 + 997 * i))): _*)
+      q.processAllAvailable()
+      StreamingDedup.compactStore(spark, provider, "fp_store", "dup_pairs",
+        cfg, storeBuckets)
+      val rows1 = provider.read(spark, "fp_store_bands").count()
+      // probe 1: a single new conv — its pruned scan may open at most one
+      // file per band key (compaction left ≤1 file per bucket)
+      input.addData(turn("p1", 0, text(50000)))
+      q.processAllAvailable()
+      val nFiles1 = scannedFiles(2)
+      assert(nFiles1 > 0 && nFiles1 <= keysPerConv,
+        s"probe-1 scan must be bounded by $keysPerConv probed buckets, got $nFiles1")
+
+      // phase B: DOUBLE the store (2 more batches × 4 convs), compact again
+      input.addData((0 until 4).map(i => turn(s"b$i", 0, text(30000 + 997 * i))): _*)
+      q.processAllAvailable()
+      input.addData((4 until 8).map(i => turn(s"b$i", 0, text(30000 + 997 * i))): _*)
+      q.processAllAvailable()
+      StreamingDedup.compactStore(spark, provider, "fp_store", "dup_pairs",
+        cfg, storeBuckets)
+      val rows2 = provider.read(spark, "fp_store_bands").count()
+      assert(rows2 >= 2 * rows1 - keysPerConv, s"store must have ~doubled: $rows1 -> $rows2")
+      // probe 2: same-sized delta against the ~2x store — scanned files stay
+      // within the SAME per-delta bound (bounded, not proportional to store)
+      input.addData(turn("p2", 0, text(60000)))
+      q.processAllAvailable()
+      val nFiles2 = scannedFiles(5)
+      assert(nFiles2 > 0 && nFiles2 <= keysPerConv,
+        s"probe-2 scan must stay bounded by $keysPerConv while the store doubled, got $nFiles2")
+      // pruning engaged: the store holds far more part files than one probe opens
+      val total = totalBandFiles
+      assert(nFiles2 * 2 < total,
+        s"pruned scan ($nFiles2 files) must open well under the store's $total files")
+
+      // recall through the pruned path: a dup of a phase-A conv still pairs
+      input.addData(turn("p3", 0, text(100))) // dup of a0
+      q.processAllAvailable()
+      val pairs = provider.read(spark, "dup_pairs")
+        .select($"conv_a", $"conv_b").as[(String, String)].collect().toSeq
+      assert(pairs.contains(("a0", "p3")),
+        s"dup across the pruned store must still pair: $pairs")
     } finally q.stop()
   }
 
