@@ -99,25 +99,45 @@ object Bench {
     val pipeSec = pipeSamples.sorted.apply(1) // median of 3
     val turnsPerSec = nTurns / pipeSec
 
+    // Per-query battery: one sample for sub-second queries; MIN-OF-2 for
+    // anything whose first sample exceeds 1 s (VERDICT r04 wrong #3: a
+    // single cold sample once published a 2× co-tenant outlier — e.g.
+    // embed_near_dup 3.24 s recorded vs 1.75 s re-measured — as the
+    // round's official per-query number). All samples are published.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      // a broken query must NOT benchmark as fast-and-green: record the error
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable =>
-                  Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-                    .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)) }
-      (name, (System.nanoTime() - q0) / 1e9, err)
+      def sample(): (Double, Option[String]) = {
+        val q0 = System.nanoTime()
+        // a broken query must NOT benchmark as fast-and-green: record the error
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable =>
+                    Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+                      .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)) }
+        ((System.nanoTime() - q0) / 1e9, err)
+      }
+      val (t1, err1) = sample()
+      val samples =
+        if (err1.isEmpty && t1 > 1.0) Seq(t1, sample()._1) else Seq(t1)
+      // a second sample that collapses to under a third of the first hit a
+      // session memo (e.g. mutual_nn's localCheckpointed pair table), which
+      // is a cache read, not an independent measurement — exclude it from
+      // the min but still publish it; host noise is ±30%, never −70%
+      val honest = samples.head +: samples.tail.filter(_ >= samples.head / 3)
+      (name, honest.min, err1, samples)
     }
     val qs = (results.map(r => (r._1, r._2)) :+ ("pipeline_e2e" -> pipeSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val errs = results.collect { case (name, _, Some(e)) => "\"" + name + "\":\"" + e + "\"" }
+    val qSamples = results.filter(_._4.length > 1)
+      .map { case (k, _, _, ss) =>
+        "\"" + k + "\":" + ss.map(s => f"$s%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (name, _, Some(e), _) => "\"" + name + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipeSec
     val samples = pipeSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_turns":$nTurns,"turns_per_sec":${f"$turnsPerSec%.1f"},"pipeline_samples":$samples}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_turns":$nTurns,"turns_per_sec":${f"$turnsPerSec%.1f"},"pipeline_samples":$samples,"query_samples":$qSamples}""")
     if (results.exists(_._3.isDefined))
       System.err.println(s"[bench] ${results.count(_._3.isDefined)} queries FAILED: " +
-        results.collect { case (n, _, Some(e)) => s"$n ($e)" }.mkString("; "))
+        results.collect { case (n, _, Some(e), _) => s"$n ($e)" }.mkString("; "))
     spark.stop()
   }
 }

@@ -486,12 +486,16 @@ object SparkEntry {
                             OR (max_span_len >= 200 AND span_frac >= 0.30))
                             AND tier = 'A' THEN 1 ELSE 0 END), 0)::BIGINT AS anchors_a
            FROM t),
+         c AS (SELECT count(DISTINCT cls) AS n_classes FROM (
+                 SELECT regexp_extract(conv_a, '^[a-z]+') AS cls FROM t
+                 UNION SELECT regexp_extract(conv_b, '^[a-z]+') FROM t)),
          p AS (SELECT *, CASE WHEN anchors = 0 THEN 1.0
-                              ELSE anchors_a::DOUBLE / anchors END AS aprec FROM s)
+                              ELSE anchors_a::DOUBLE / anchors END AS aprec
+               FROM s, c)
          SELECT 'fp_rate' AS gate, round(fp_rate, 4) AS value,
            0.35 AS threshold, fp_rate <= 0.35 AS pass, n FROM p
          UNION ALL SELECT 'cross_group_ratio', round(cross_ratio, 4),
-           0.40, cross_ratio >= 0.40, n FROM p
+           0.40, CASE WHEN n_classes >= 2 THEN cross_ratio >= 0.40 END, n FROM p
          UNION ALL SELECT 'tier_a_share', round(tier_a, 4),
            0.05, tier_a >= 0.05, n FROM p
          UNION ALL SELECT 'anchor_precision', round(aprec, 4),

@@ -70,6 +70,15 @@ object ConnectedComponents {
     }.toDF("src", "dst")
   }
 
+  /** Run statistics surfaced to callers that need to attribute CC cost
+    * (CcDistributed tool, scaling forensics): which path ran, forest sizes
+    * per contraction round, and min-label loop iterations. */
+  final class CcStats {
+    var path: String = ""            // "hint-local" | "local" | "distributed"
+    var forestEdges: Seq[Long] = Nil // after each contraction round
+    var iterations: Int = 0          // min-label loop iterations run
+  }
+
   /** edges: DataFrame with (conv_a, conv_b). Returns (conv_id, cluster_id,
     * cluster_size). `edgeCountHint`: an UPPER BOUND on the edge count known
     * by the caller (e.g. from an observation that already rode a checkpoint
@@ -78,12 +87,15 @@ object ConnectedComponents {
     * into union-find, which needs neither dedup nor symmetry. */
   def cluster(edges: DataFrame, maxIters: Int = 25,
               driverLocalMaxEdges: Long = DriverLocalMaxEdges,
-              edgeCountHint: Option[Long] = None): Dataset[ClusterRow] = {
+              edgeCountHint: Option[Long] = None,
+              stats: CcStats = new CcStats): Dataset[ClusterRow] = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    if (edgeCountHint.exists(_ <= driverLocalMaxEdges))
+    if (edgeCountHint.exists(_ <= driverLocalMaxEdges)) {
+      stats.path = "hint-local"
       return clusterLocal(edges.select(col("conv_a"), col("conv_b")))
+    }
 
     // PARTITION-LOCAL CONTRACTION FIRST (one narrow pass, ZERO shuffles):
     // union-find each partition's edges and emit one (root, vertex)
@@ -117,6 +129,7 @@ object ConnectedComponents {
     val raw = edges.select(col("conv_a").as("src"), col("conv_b").as("dst"))
     var forest = contract(raw).localCheckpoint(true)
     var nForest = forest.count()
+    stats.forestEdges = Seq(nForest)
     var mergeRounds = 0
     while (nForest > driverLocalMaxEdges && mergeRounds < 2) {
       val nParts = forest.rdd.getNumPartitions
@@ -125,10 +138,12 @@ object ConnectedComponents {
         forest = contract(forest.coalesce(math.max(1, nParts / 8)))
           .localCheckpoint(true)
         nForest = forest.count()
+        stats.forestEdges = stats.forestEdges :+ nForest
         mergeRounds += 1
       }
     }
-    if (nForest <= driverLocalMaxEdges) return clusterLocal(forest)
+    if (nForest <= driverLocalMaxEdges) { stats.path = "local"; return clusterLocal(forest) }
+    stats.path = "distributed"
 
     // still too large for the driver: iterate min-label propagation over the
     // contracted graph (strictly fewer edges, identical components)
@@ -179,6 +194,7 @@ object ConnectedComponents {
       labels = next
       converged = changed == 0L
       iter += 1
+      stats.iterations = iter
     }
 
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))

@@ -51,6 +51,14 @@ object PolicyGates {
    * Evaluate the four policy gates over a tiered-pairs table.
    * `groups`: optional (conv_id, group_id) table for the cross-group axis;
    * absent endpoints count as their own group (never "same").
+   *
+   * Without a groups table the cross-group axis falls back to the id-class
+   * heuristic, which is only meaningful when ids actually carry class
+   * prefixes. If the heuristic resolves every endpoint to ONE class (opaque
+   * production ids — e.g. uniform UUIDs), the ratio would read 0 and
+   * false-fail the gate, so `cross_group_ratio` then reports its value with
+   * `pass = null`: "not evaluable without a groups table", never a fake
+   * verdict (VERDICT r04 wrong #2).
    */
   def evaluate(tiered: DataFrame, groups: Option[DataFrame] = None): DataFrame = {
     val withGrp = groups match {
@@ -63,28 +71,38 @@ object PolicyGates {
             Seq("conv_b"), "left")
           .withColumn("cross_grp",
             col("grp_a").isNull || col("grp_b").isNull || col("grp_a") =!= col("grp_b"))
+          .withColumn("id_cls", lit(null).cast("string"))
       case None =>
         tiered.withColumn("cross_grp", idClass(col("conv_a")) =!= idClass(col("conv_b")))
+          .withColumn("id_cls", idClass(col("conv_a")))
     }
     // ONE aggregate pass over the pairs table; the four gate rows below read
-    // the materialized 1-row result, not re-scans of the input
+    // the materialized 1-row result, not re-scans of the input. n_classes
+    // rides the same pass: collect_set over the (tiny: letter-prefix) class
+    // space of BOTH endpoints — heuristic-degeneracy detector.
     val s = withGrp.agg(
       count(lit(1)).as("n"),
       coalesce(avg(when(fpProxy, 1.0).otherwise(0.0)), lit(0.0)).as("fp_rate"),
       coalesce(avg(when(col("cross_grp"), 1.0).otherwise(0.0)), lit(0.0)).as("cross_ratio"),
       coalesce(avg(when(col("tier") === "A", 1.0).otherwise(0.0)), lit(0.0)).as("tier_a"),
       coalesce(sum(when(anchor, 1L).otherwise(0L)), lit(0L)).as("anchors"),
-      coalesce(sum(when(anchor && col("tier") === "A", 1L).otherwise(0L)), lit(0L)).as("anchors_a"))
+      coalesce(sum(when(anchor && col("tier") === "A", 1L).otherwise(0L)), lit(0L)).as("anchors_a"),
+      size(array_union(collect_set(col("id_cls")),
+        collect_set(when(col("id_cls").isNotNull, idClass(col("conv_b"))))))
+        .as("n_classes"))
       .localCheckpoint(true)
     def gate(name: String, value: Column, thr: Double, pass: Column, n: Column) =
       s.select(lit(name).as("gate"), round(value, 4).as("value"),
-        lit(thr).as("threshold"), pass.as("pass"), n.as("n"))
+        lit(thr).as("threshold"), pass.cast("boolean").as("pass"), n.as("n"))
     val anchorPrec =
       when(col("anchors") === 0, 1.0)
         .otherwise(col("anchors_a").cast("double") / col("anchors"))
+    // groups-table mode: always evaluable; heuristic mode: evaluable only
+    // when ≥2 id classes exist (when-without-otherwise yields null)
     gate("fp_rate", col("fp_rate"), 0.35, col("fp_rate") <= 0.35, col("n"))
       .unionByName(gate("cross_group_ratio", col("cross_ratio"), 0.40,
-        col("cross_ratio") >= 0.40, col("n")))
+        when(lit(groups.isDefined) || col("n_classes") >= 2,
+          col("cross_ratio") >= 0.40), col("n")))
       .unionByName(gate("tier_a_share", col("tier_a"), 0.05,
         col("tier_a") >= 0.05, col("n")))
       .unionByName(gate("anchor_precision", anchorPrec, 0.90,

@@ -59,6 +59,67 @@ class AdaptiveSpec extends SparkSpec {
     assert(recall >= 0.90, s"coarse-tier recall=$recall over ${gt.size} pairs")
   }
 
+  test("100-TB-tier banding (16×8, minBandHits=1) keeps recall on strong near-dups") {
+    import spark.implicits._
+    // the ≥100M-doc tier — the config every 100-TB run would use (VERDICT
+    // r04 next #5): 16 bands × 8 rows ⇒ LSH threshold ≈ 0.71. minBandHits
+    // calibration at r=8: a just-above-threshold pair (J ≈ 0.71) expects
+    // only 16·0.71⁸ ≈ 1.0 band collisions, so the tier MUST run with
+    // minBandHits=1 — requiring ≥2 distinct hits would halve
+    // near-threshold recall.
+    val cfg = Adaptive.configure(1000000000L)
+    assert(cfg.bands == 16 && cfg.rows == 8)
+    assert(cfg.minBandHits == 1, "r=8 tiers must not require 2 band hits")
+    val turns = ConversationGen.corpus(spark, ConversationGen.smoke)
+    val result = operators.Pipeline.runPipelined(turns, cfg, runId = "tier100tb")
+    val detected = result.tiered
+      .filter(t => t.tier == "A" || t.tier == "B")
+      .select($"conv_a", $"conv_b").as[(String, String)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    // The gate is CONFIG-RELATIVE (the BASELINE contract is recall at the
+    // same shingle/signature config): this tier's 0.71 banding threshold
+    // trades sub-threshold pairs away BY DESIGN — subst5 (J ≈ 0.63),
+    // subst10 (J ≈ 0.42), and truncate15 of SHORT conversations (keep =
+    // max(2, 85%) of turns removes up to a third of a 3-turn conv). So
+    // compute every planted pair's TRUE shingle Jaccard with the pipeline's
+    // own kernel and require: (a) full recall over pairs above the
+    // threshold + noise margin, (b) every miss sits below that margin —
+    // i.e. the tier trades exactly what it claims to trade, nothing else.
+    val allGt = ConversationGen.gtPairs(ConversationGen.smoke).filter(_.should_detect)
+    val ids = allGt.flatMap(g => Seq(g.conv_a, g.conv_b)).toSet
+    val byConv = turns.filter(t => ids.contains(t.conv_id)).collect().groupBy(_.conv_id)
+    def shingles(id: String): Set[Long] = {
+      val texts = byConv(id).sortBy(_.turn_idx).map(t =>
+        if (t.role == "tool") s"[tool:${Option(t.tool).getOrElse("?")}]" else t.text)
+      val norm = functions.TextKernel.normalize(texts.mkString("\n"))
+      functions.TextKernel.shingleSet(
+        functions.TextKernel.tokens(norm), cfg.shingleK).toSet
+    }
+    val withJ = allGt.map { g =>
+      val (sa, sb) = (shingles(g.conv_a), shingles(g.conv_b))
+      (g, (sa & sb).size.toDouble / (sa | sb).size)
+    }
+    // margin above the 0.707 banding threshold: the S-curve knee plus
+    // est-noise (1/√128 ≈ 0.09 on the 0.60 simThreshold filter)
+    val strong = withJ.filter(_._2 >= 0.78)
+    assert(strong.size >= 10, s"only ${strong.size} strong pairs planted — gate too weak")
+    val missedStrong = strong.filterNot { case (g, _) =>
+      detected.contains((g.conv_a, g.conv_b)) }
+    assert(missedStrong.isEmpty,
+      s"100-TB tier missed ABOVE-threshold pairs: ${missedStrong.map { case (g, j) =>
+        f"${g.conv_b}(${g.transform_type}, J=$j%.2f)" }.mkString(",")}")
+    val missedAll = withJ.filterNot { case (g, _) =>
+      detected.contains((g.conv_a, g.conv_b)) }
+    assert(missedAll.forall(_._2 < 0.78),
+      s"a miss above the design threshold: ${missedAll.map { case (g, j) =>
+        f"${g.conv_b}(J=$j%.2f)" }.mkString(",")}")
+    // and the hard negatives stay out even at the coarsest banding
+    val negs = ConversationGen.gtPairs(ConversationGen.smoke)
+      .filter(!_.should_detect)
+    val fp = negs.count(g => detected.contains((g.conv_a, g.conv_b)))
+    assert(fp == 0, s"$fp hard negatives leaked through the 16×8 tier")
+  }
+
   test("pipeline-level group suppression: groupGap drops same-group planted dups, OFF leaves them") {
     import spark.implicits._
     val spec = ConversationGen.smoke

@@ -57,6 +57,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(viaMerge.forall(t => t._2 == "v000" && t._3 == 300L))
   }
 
+  test("CcStats records the taken path, forest sizes, and loop iterations") {
+    val hinted = new ConnectedComponents.CcStats
+    ConnectedComponents.cluster(edgesDf(graph), edgeCountHint = Some(6L),
+      stats = hinted).collect()
+    assert(hinted.path == "hint-local" && hinted.forestEdges.isEmpty)
+    val local = new ConnectedComponents.CcStats
+    ConnectedComponents.cluster(edgesDf(graph), driverLocalMaxEdges = 100,
+      stats = local).collect()
+    assert(local.path == "local" && local.forestEdges.nonEmpty)
+    assert(local.iterations == 0)
+    val dist = new ConnectedComponents.CcStats
+    ConnectedComponents.cluster(edgesDf(graph), driverLocalMaxEdges = 0,
+      stats = dist).collect()
+    assert(dist.path == "distributed" && dist.iterations >= 1)
+    assert(dist.forestEdges.nonEmpty)
+  }
+
   test("contraction path (edges over budget, forest under) agrees exactly") {
     // chain: 82 symmetric edges > cap 60 ≥ 41 forest edges → the partition-
     // local union-find contraction runs, then finishes driver-local

@@ -49,12 +49,44 @@ class PolicyGatesSpec extends SparkSpec {
     assert(out("fp_rate")._2 == 6L, "duplicate group rows must not inflate n")
   }
 
-  test("empty input yields defined gates (no nulls), anchor precision defaults pass") {
+  test("opaque uniform ids: heuristic cross gate abstains (pass=null), never false-fails") {
+    import spark.implicits._
+    // production-shaped ids with NO class prefix variation: the id-class
+    // heuristic resolves everything to one class, so without a groups table
+    // the cross-group gate must abstain rather than read 0 → fail
+    // (VERDICT r04 wrong #2)
+    import org.apache.spark.sql.functions.{abs, concat, hash, lit}
+    val uniform = fixture
+      .withColumn("conv_a", concat(lit("u"), abs(hash($"conv_a"))))
+      .withColumn("conv_b", concat(lit("u"), abs(hash($"conv_b"))))
+    val rows = PolicyGates.evaluate(uniform).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cross = rows("cross_group_ratio")
+    assert(cross.isNullAt(3), s"degenerate heuristic must abstain, got ${cross.get(3)}")
+    assert(cross.getDouble(1) == 0.0)
+    // the other three gates are unaffected by id opacity
+    assert(!rows("fp_rate").isNullAt(3) && rows("fp_rate").getBoolean(3))
+    assert(!rows("tier_a_share").isNullAt(3))
+    assert(!rows("anchor_precision").isNullAt(3))
+    // and a groups table restores a real verdict on the same opaque ids
+    val (idA, idB) = uniform.select($"conv_a", $"conv_b")
+      .as[(String, String)].head()
+    val groups = Seq((idA, 1L), (idB, 2L)).toDF("conv_id", "group_id")
+    val withG = PolicyGates.evaluate(uniform, Some(groups)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!withG("cross_group_ratio").isNullAt(3),
+      "groups-table mode must always produce a verdict")
+  }
+
+  test("empty input yields defined gates, anchor precision defaults pass, cross abstains") {
     val empty = fixture.limit(0)
     val out = PolicyGates.evaluate(empty).collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(3)))).toMap
-    assert(out("fp_rate") == ((0.0, true)))
-    assert(out("anchor_precision") == ((1.0, true)))
-    assert(out("tier_a_share") == ((0.0, false)))
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), if (r.isNullAt(3)) None else Some(r.getBoolean(3))))).toMap
+    assert(out("fp_rate") == ((0.0, Some(true))))
+    assert(out("anchor_precision") == ((1.0, Some(true))))
+    assert(out("tier_a_share") == ((0.0, Some(false))))
+    // zero pairs in heuristic mode: zero id classes → no cross verdict
+    assert(out("cross_group_ratio") == ((0.0, None)))
   }
 }
