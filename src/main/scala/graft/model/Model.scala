@@ -110,6 +110,13 @@ case class TypeGates(
  */
 case class DedupConfig(
   shingleK: Int = 5,             // word k-grams (SURVEY.md §7 fixed config)
+  maskToolPayloads: Boolean = true, // F5 preprocessing: replace tool-turn
+                                 //   payloads with a stable [tool:name]
+                                 //   token before assembly (text analog of
+                                 //   the reference's CLAHE normalization
+                                 //   flag, clahe_ab_test.py — A/B-testable
+                                 //   via tools/AbTest); folded into the
+                                 //   checkpoint fingerprint automatically
   numPerms: Int = 128,           // MinHash permutations
   bands: Int = 64,               // LSH bands (b); b=64 × r=2 ⇒ LSH threshold
   rows: Int = 2,                 //   (1/b)^(1/r) ≈ 0.125 — catches the weakest

@@ -264,7 +264,7 @@ object Pipeline {
       case None => compute.observe(o, cnt).localCheckpoint(true)
     }
     val sigs = stageCk("sigs", oSig) {
-      Signatures.compute(Reassembly.assemble(turnsObs), cfg)
+      Signatures.compute(Reassembly.assemble(turnsObs, cfg.maskToolPayloads), cfg)
     }
     val msSig = lap()
     val cands = stageCk("candidates", oCand) {
@@ -379,7 +379,7 @@ object Pipeline {
     val ns = s"${namespaceFor(cfg, groupsFingerprint(groups, cfg))}/$hash"
 
     val (sigs, sigsHit) = stage(spark, io, ns, hash, "sigs") {
-      Signatures.compute(Reassembly.assemble(turns), cfg)
+      Signatures.compute(Reassembly.assemble(turns, cfg.maskToolPayloads), cfg)
     }
     val nDocs = timedCount("signatures", nTurns, sigs, sigsHit)
 
