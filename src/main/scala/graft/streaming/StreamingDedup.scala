@@ -264,6 +264,28 @@ object StreamingDedup {
     else store.where(col("bucket").isin(deltaBuckets: _*))
       .select("conv_id", "bkey")
 
+  /** Persist-and-enforce the band store's bucket modulus: the pruning
+    * filter is correct only when delta and store agree on `pmod(bkey, N)`,
+    * so N is written to `{bands}_meta` on first start and every restart
+    * (and `compactStore`) must pass the same value — failing LOUDLY beats
+    * silently pruning away true matches. */
+  private[graft] def requireBucketLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      provider: graft.sources.TableProvider,
+      bandsTbl: String, storeBuckets: Int): Unit = {
+    import spark.implicits._
+    val metaTbl = s"${bandsTbl}_meta"
+    if (provider.exists(spark, metaTbl)) {
+      val n = provider.read(spark, metaTbl).select("store_buckets")
+        .head().getInt(0)
+      require(n == storeBuckets,
+        s"band store $bandsTbl was written with storeBuckets=$n; " +
+          s"this run passed $storeBuckets — matching moduli are required " +
+          s"for correct bucket pruning (run compactStore with the new value " +
+          s"to re-layout)")
+    } else provider.write(Seq(storeBuckets).toDF("store_buckets"), metaTbl)
+  }
+
   /**
    * foreachBatch wiring of the handoff — incremental-store shape (VERDICT
    * r03 wrong #2 fix). Per micro-batch, ONLY the delta is fingerprint-banded;
@@ -301,6 +323,12 @@ object StreamingDedup {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val bandsTbl = s"${storeTbl}_bands"
     val logTbl = s"${pairsTbl}_batchlog"
+    // Bucket-layout guard: the delta's bucket filter is only correct when
+    // computed with the SAME modulus the store's rows were written with —
+    // a restart passing a different storeBuckets would silently prune away
+    // matching rows (recall loss with no error). The modulus is persisted
+    // next to the band store on first start and enforced on every restart.
+    requireBucketLayout(fps.sparkSession, provider, bandsTbl, storeBuckets)
     fps.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[ConvFingerprint], batchId: Long) =>
         val spark = batch.sparkSession
@@ -428,6 +456,10 @@ object StreamingDedup {
         .repartition(storeBuckets, col("bucket"))
         .localCheckpoint(true)
       provider.writePartitioned(bands, bandsTbl, Seq("bucket"))
+      // compaction is the sanctioned re-layout point: it rewrites EVERY
+      // band row under the new modulus, so the meta moves with it
+      import spark.implicits._
+      provider.write(Seq(storeBuckets).toDF("store_buckets"), s"${bandsTbl}_meta")
     }
     if (provider.exists(spark, pairsTbl)) {
       val pairs = provider.read(spark, pairsTbl)

@@ -296,6 +296,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket-layout guard: mismatched storeBuckets fails loudly, compaction re-layouts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+    val provider = new graft.sources.ParquetDirProvider(dir, "")
+    // first start persists the modulus; a same-value restart is fine
+    StreamingDedup.requireBucketLayout(spark, provider, "fp_store_bands", 256)
+    StreamingDedup.requireBucketLayout(spark, provider, "fp_store_bands", 256)
+    // a restart with a different modulus would silently prune away true
+    // matches — it must throw instead
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.requireBucketLayout(spark, provider, "fp_store_bands", 128)
+    }
+    assert(e.getMessage.contains("storeBuckets=256"))
+    // compactStore is the sanctioned re-layout: it rewrites the store under
+    // the new modulus and moves the meta with it
+    import spark.implicits._
+    provider.write(Seq(StreamingDedup.ConvFingerprint("c1", 2, 1L, 5L,
+      Array.fill(128)(1L), new java.sql.Timestamp(0L), finalized = false))
+      .toDS().toDF(), "fp_store")
+    StreamingDedup.compactStore(spark, provider, "fp_store", "dup_pairs",
+      graft.model.DedupConfig.balanced, storeBuckets = 128)
+    StreamingDedup.requireBucketLayout(spark, provider, "fp_store_bands", 128)
+  }
+
   test("watermarked window aggregation over a turn stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
