@@ -45,7 +45,12 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.local.dir", localDir)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Core-count shuffle partitions are only the SMALL-CORPUS default —
+      // runners re-size this knob per input via sizeShuffleForCorpus
+      // (below) once they know the corpus size. See that scaladoc for the
+      // OOM this prevents and the A/B that rejected a flat floor.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // AQE's 64MB advisory target coalesces the reassembly/verify shuffles
@@ -68,6 +73,36 @@ object Bench {
     s
   }
 
+  /** Size `spark.sql.shuffle.partitions` for a corpus of `nTurns` turns.
+    *
+    * Shuffle-partition count bounds the BUILD side of the pipeline's forced
+    * shuffled-hash joins: each task's hash map holds |docs|·payload /
+    * numShufflePartitions bytes — a function of DATA size, not core count.
+    * Leaving it pinned to the core count OOM'd the 9.1M-turn scaling run at
+    * local[8] ("not enough memory to build hash map" in the SHJ build; AQE
+    * coalesces shuffle partitions but never SPLITS non-skewed ones, so it
+    * cannot rescue an under-partitioned map side). A flat 128 floor was
+    * A/B-rejected: at a 460k-turn corpus on local[32] it doubled the
+    * candidate stage (4.6 → 9.2 s warm) — AQE's parallelismFirst coalescing
+    * does not recover the explicit-repartition and SHJ stages. So the knob
+    * is sized by data, exactly as a cluster operator sizes it from input
+    * bytes / target-partition-bytes: ~64k turns per partition (the 9.1M-turn
+    * local[8] run is validated green at 71k turns/part), floored at the core
+    * count so every small corpus keeps the plan it had, capped at 4096.
+    * Called by the runners right after they materialize + count the corpus
+    * (the count rides work they already do; the pipeline itself deliberately
+    * never adds a pre-scan — see Pipeline.runPipelined's observe note).
+    * Both scaling-bench levels derive the SAME value, so the two-parallelism
+    * proxy compares identical plans, not a 2-part shuffle vs an 8-part one.
+    */
+  def sizeShuffleForCorpus(spark: SparkSession, nTurns: Long): Int = {
+    val cores = spark.sparkContext.defaultParallelism
+    val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt)
+      .getOrElse(math.min(4096L, math.max(cores.toLong, nTurns / 64000L)).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    parts
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -83,6 +118,7 @@ object Bench {
     // caches are released immediately.
     val corpus = SparkEntry.corpusFor(spark, sfDir)
     val nTurns = corpus.count()
+    sizeShuffleForCorpus(spark, nTurns): Unit
     val pipeSamples = (1 to 3).map { rep =>
       val t0 = System.nanoTime()
       val result =

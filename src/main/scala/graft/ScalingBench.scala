@@ -52,6 +52,9 @@ object ScalingBench {
       // dedup job, not synthetic-input generation
       val corpus = sources.ConversationGen.corpus(spark, spec).persist()
       val nTurns = corpus.count()
+      // both levels derive the same data-sized value → identical plans,
+      // only the thread count differs (see Bench.sizeShuffleForCorpus)
+      Bench.sizeShuffleForCorpus(spark, nTurns): Unit
       val t0 = System.nanoTime()
       val result = operators.Pipeline.runPipelined(corpus, model.DedupConfig.balanced)
       result.clusters.count()

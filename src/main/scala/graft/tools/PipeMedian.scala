@@ -11,6 +11,7 @@ object PipeMedian {
     val corpus = ConversationGen.corpus(spark,
       ConversationGen.CorpusSpec(nBase, 60, 400)).persist()
     val n = corpus.count()
+    graft.Bench.sizeShuffleForCorpus(spark, n): Unit
     (0 to 2).foreach { i =>
       val t0 = System.nanoTime()
       val r = Pipeline.runPipelined(corpus, DedupConfig.balanced, runId = s"m$i")
