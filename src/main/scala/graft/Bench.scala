@@ -94,11 +94,14 @@ object Bench {
     * never adds a pre-scan — see Pipeline.runPipelined's observe note).
     * Both scaling-bench levels derive the SAME value, so the two-parallelism
     * proxy compares identical plans, not a 2-part shuffle vs an 8-part one.
+    * Only ever RAISES the session's setting — a caller who configured more
+    * partitions than the formula asks for keeps their choice.
     */
   def sizeShuffleForCorpus(spark: SparkSession, nTurns: Long): Int = {
-    val cores = spark.sparkContext.defaultParallelism
+    val current = spark.sessionState.conf.numShufflePartitions
     val parts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS").map(_.toInt)
-      .getOrElse(math.min(4096L, math.max(cores.toLong, nTurns / 64000L)).toInt)
+      .getOrElse(math.min(4096L,
+        math.max(current.toLong, nTurns / 64000L)).toInt)
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     parts
   }
