@@ -166,6 +166,15 @@ object Pipeline {
    *
    * `groups` + cfg.groupGap wire the F2 same/adjacent-group suppression
    * between candidates and verification (reference default OFF).
+   *
+   * OPERATOR NOTE — size `spark.sql.shuffle.partitions` by INPUT SIZE, not
+   * core count, before calling (the runners use
+   * `graft.Bench.sizeShuffleForCorpus`, ~64k turns per partition): the
+   * pipeline's shuffled-hash joins build per-task maps of |docs|·payload /
+   * numShufflePartitions bytes, and a cores-pinned value OOMs the build once
+   * the corpus outgrows the heap (observed at 9.1M turns on 8 cores). This
+   * deliberately stays OUTSIDE runPipelined — the caller knows the input
+   * scale without paying an extra pre-scan action here.
    */
   def runPipelined(turns: Dataset[Turn],
                    cfg: DedupConfig = DedupConfig.balanced,
