@@ -296,6 +296,22 @@ object TextKernel {
   }
 
   /** Exact Jaccard of two SORTED distinct long arrays (merge scan, no alloc). */
+  /** Int twin for the verify stage's high-32-bit truncated sketches
+    * (Verification.sketch32): identical merge-scan at half the memory
+    * traffic — this loop streams ~2×sketch bytes per pair and was the
+    * verified stage's measured memory-bus wall. */
+  def jaccardSorted(a: Array[Int], b: Array[Int]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0
     var i = 0; var j = 0; var inter = 0
