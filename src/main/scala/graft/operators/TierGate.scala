@@ -174,9 +174,57 @@ object TierGate {
       .as[TieredPair]
   }
 
+  /**
+   * Fused z-score + pair-type attachment: ONE per-endpoint attribute table
+   * (mu, sigma, content_type — stats left-joined to the profile on the
+   * endpoint id) and ONE pair-table join per side, instead of the separate
+   * withZScore (2 joins) + withPairType (2 joins) passes. Semantics are
+   * identical (stats keys cover every pair endpoint by construction; a
+   * missing profile row routes to "default" exactly like the old left
+   * join), but the 10⁶–10⁷-row pair table crosses the wire TWICE instead
+   * of four times. Motivation: runs BD/BF/BH all read the tiered stage
+   * anti-scaled at the 9.1M-turn corpus even after the z-score joins were
+   * SHUFFLE_HASH-hinted — the remaining wall was the stage's chain of
+   * narrow 142-partition pair-table exchanges, and halving them is a
+   * plan-level cut that holds at any scale (at 10¹² turns these are the
+   * dominant tiered-stage bytes). The per-endpoint attrs stay SHUFFLE_HASH
+   * (|docs|-proportional — too big to broadcast at target scale).
+   */
+  private def attachAttrs(pairs: Dataset[VerifiedPair],
+                          profiles: Option[DataFrame]): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select($"conv_a".as("ep"), $"minhash_est".as("s"))
+      .unionAll(pairs.select($"conv_b".as("ep"), $"minhash_est".as("s")))
+    val stats = edges.groupBy($"ep").agg(
+      avg($"s").as("mu"), stddev_pop($"s").as("sigma"))
+    val attrs = profiles match {
+      case Some(p) => stats.join(
+        p.select($"conv_id".as("ep"), $"content_type".as("ct")), Seq("ep"), "left")
+      case None => stats.withColumn("ct", lit(null).cast("string"))
+    }
+    def z(side: String) =
+      when(col(s"sigma_$side") > 1e-9,
+        (col("minhash_est") - col(s"mu_$side")) / col(s"sigma_$side"))
+        .otherwise(lit(10.0))
+    pairs.toDF()
+      .join(attrs.select($"ep".as("conv_a"), $"mu".as("mu_a"),
+          $"sigma".as("sigma_a"), $"ct".as("ct_a"))
+        .hint("shuffle_hash"), Seq("conv_a"), "left")
+      .join(attrs.select($"ep".as("conv_b"), $"mu".as("mu_b"),
+          $"sigma".as("sigma_b"), $"ct".as("ct_b"))
+        .hint("shuffle_hash"), Seq("conv_b"), "left")
+      .withColumn("clip_z_analog", least(z("a"), z("b")))
+      .withColumn("pair_type",
+        when(col("ct_a").isNull || col("ct_b").isNull, "default")
+          .when(col("ct_a") === col("ct_b"), col("ct_a"))
+          .otherwise("cross"))
+      .drop("mu_a", "sigma_a", "mu_b", "sigma_b", "ct_a", "ct_b")
+  }
+
   def apply(pairs: Dataset[VerifiedPair], cfg: DedupConfig,
             profiles: Option[DataFrame] = None): Dataset[TieredPair] =
-    gate(withPairType(withZScore(pairs), profiles), cfg)
+    gate(attachAttrs(pairs, profiles), cfg)
 
   /**
    * Optional scored-gate column (SURVEY.md §2.3 X18 — the reference's

@@ -57,12 +57,19 @@ object TierWall {
       println(f"[tierwall] cpus=$cpus rep=$rep tiered_n=$nT " +
         f"await=${(tAwait - t0) / 1e9}%.2fs zscore=${(tZ - tAwait) / 1e9}%.2fs " +
         f"gate=${(tG - tZ) / 1e9}%.2fs total=${(tG - t0) / 1e9}%.2fs")
+      // the fused endpoint-attr pass (what Pipeline actually runs): one
+      // attrs table, pair table exchanged twice instead of four times
+      val fused = TierGate(verified, cfg, Some(prof)).localCheckpoint(true)
+      val nF = fused.count()
+      val tF = System.nanoTime()
+      println(f"[tierwall] cpus=$cpus rep=$rep fused_n=$nF " +
+        f"fused=${(tF - tG) / 1e9}%.2fs (vs separate ${(tG - t0) / 1e9}%.2fs)")
       if (rep == 0)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"/tmp/tierwall_zplan_$cpus.txt"),
           zRaw.queryExecution.executedPlan.toString + "\n=== gated ===\n" +
             gatedRaw.queryExecution.executedPlan.toString)
-      z.unpersist(); gated.unpersist()
+      z.unpersist(); gated.unpersist(); fused.unpersist()
     }
     spark.stop()
   }

@@ -82,6 +82,32 @@ class TierGateSpec extends SparkSpec {
     assert(out("t4") == ("A", "relaxed_sum"), s"t4=${out("t4")}")
   }
 
+  test("fused endpoint-attr pass == separate withZScore+withPairType passes") {
+    import spark.implicits._
+    def vp(k: String, a: String, b: String, est: Double) =
+      VerifiedPair(k, a, b, est, 0.8, 0.7, 0.6, 1, 5, 10, false, 40, 0.1, 0, "lsh")
+    // x is a hub (3 edges, varied scores) so sigma is non-degenerate;
+    // w has no profile row (default route); y/z exercise same/cross routes
+    val pairs = Seq(
+      vp("x|y", "x", "y", 0.95), vp("x|z", "x", "z", 0.60),
+      vp("w|x", "w", "x", 0.75), vp("y|z", "y", "z", 0.80)).toDS()
+    val prof = Seq(("x", "tool_heavy"), ("y", "tool_heavy"), ("z", "dialog"))
+      .toDF("conv_id", "content_type")
+    val fused = TierGate(pairs, cfg, Some(prof))
+      .collect().map(t => t.pair_key ->
+        (t.tier, t.tier_path, t.pair_type, t.clip_z_analog)).toMap
+    val separate = TierGate.gate(
+        TierGate.withPairType(TierGate.withZScore(pairs), Some(prof)), cfg)
+      .collect().map(t => t.pair_key ->
+        (t.tier, t.tier_path, t.pair_type, t.clip_z_analog)).toMap
+    assert(fused == separate, s"fused=$fused separate=$separate")
+    assert(fused("x|y")._3 == "tool_heavy" && fused("x|z")._3 == "cross" &&
+      fused("w|x")._3 == "default")
+    // z-scores actually computed (hub x yields a real sigma, not the 10.0
+    // degenerate sentinel on every row)
+    assert(fused.values.exists(_._4 < 9.0))
+  }
+
   test("withPairType routes same-class pairs and cross-class fallback") {
     import spark.implicits._
     val pairs = Seq(
