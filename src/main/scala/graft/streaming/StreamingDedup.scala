@@ -331,7 +331,22 @@ object StreamingDedup {
     requireBucketLayout(fps.sparkSession, provider, bandsTbl, storeBuckets)
     fps.writeStream.outputMode(OutputMode.Update())
       .foreachBatch { (batch: Dataset[ConvFingerprint], batchId: Long) =>
-        val spark = batch.sparkSession
+        applyBatch(batch.toDF(), batchId, provider, storeTbl, pairsTbl,
+          cfg, maxDist, storeBuckets)
+      }.start()
+  }
+
+  /** One micro-batch of the incremental handoff — extracted from the
+    * foreachBatch lambda so re-delivery semantics are directly testable
+    * (StreamingSpec calls it twice with the same batchId). */
+  private[graft] def applyBatch(batchDf: DataFrame, batchId: Long,
+                                provider: graft.sources.TableProvider,
+                                storeTbl: String, pairsTbl: String,
+                                cfg: DedupConfig, maxDist: Int,
+                                storeBuckets: Int): Unit = {
+        val bandsTbl = s"${storeTbl}_bands"
+        val logTbl = s"${pairsTbl}_batchlog"
+        val spark = batchDf.sparkSession
         import spark.implicits._
         // Idempotency under foreachBatch re-delivery (ADVICE r04): the
         // batchlog row is the batch's commit marker — a batch that already
@@ -348,7 +363,7 @@ object StreamingDedup {
           !provider.read(spark, logTbl)
             .filter(col("batch_id") === batchId).isEmpty
         if (!alreadyApplied) {
-        val delta = latestPerConv(batch.toDF()).localCheckpoint(true)
+        val delta = latestPerConv(batchDf).localCheckpoint(true)
         val nDelta = delta.count()
         if (nDelta > 0) {
           val deltaBands = bandRows(delta, cfg)
@@ -424,7 +439,6 @@ object StreamingDedup {
         }
         } // !alreadyApplied
         ()
-      }.start()
   }
 
   /**

@@ -153,4 +153,26 @@ class ResumeSpec extends SparkSpec {
     assert(p2.metrics.exists(_.stage == "candidates"),
       "pipelined mode recomputes under a changed config")
   }
+
+  test("empty (but active) groups table keys deterministically, no NPE (ADVICE r04)") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    val turns = ConversationGen.corpus(spark, ConversationGen.smoke)
+    // zero-row groups table with suppression ACTIVE: bit_xor over no rows
+    // is NULL — groupsFingerprint must coalesce, not throw, and the run
+    // must checkpoint under a stable namespace
+    val emptyGroups = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("conv_id", StringType),
+        StructField("group_id", LongType))))
+    val cfg = DedupConfig.balanced.copy(groupGap = Some(0))
+    val r1 = Pipeline.run(turns, cfg, Some(dir), runId = "eg1",
+      groups = Some(emptyGroups))
+    assert(r1.metrics.exists(_.stage == "candidates"), "first run computes")
+    // same empty table → same fingerprint → resume, not recompute
+    val r2 = Pipeline.run(turns, cfg, Some(dir), runId = "eg2",
+      groups = Some(emptyGroups))
+    assert(r2.metrics.exists(_.stage == "candidates:cached"),
+      s"empty groups must key deterministically; metrics=${r2.metrics.map(_.stage)}")
+  }
 }

@@ -319,6 +319,38 @@ class StreamingSpec extends SparkSpec {
     StreamingDedup.requireBucketLayout(spark, provider, "fp_store_bands", 128)
   }
 
+  test("re-delivered micro-batch is a no-op: the batchlog row is the commit marker (ADVICE r04)") {
+    import spark.implicits._
+    import graft.model.DedupConfig
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem_").toString
+    val provider = new graft.sources.ParquetDirProvider(dir, "")
+    val cfg = DedupConfig.balanced
+    def text(seed: Int) =
+      (0 until 40).map(i => graft.sources.ConversationGen.word(seed + i * 7 % 800)).mkString(" ")
+    def fps(rows: (String, Int, String)*) =
+      StreamingDedup.incrementalFingerprints(
+        spark.createDataset(rows.map { case (c, i, t) => turn(c, i, t) })).toDF()
+    def counts() = Seq("fp_store", "fp_store_bands", "dup_pairs", "dup_pairs_batchlog")
+      .map(t => t -> (if (provider.exists(spark, t)) provider.read(spark, t).count() else 0L))
+      .toMap
+    val batch1 = fps(("c1", 0, text(0)), ("c2", 0, text(2000)))
+    StreamingDedup.applyBatch(batch1, 0L, provider, "fp_store", "dup_pairs", cfg, 3, 256)
+    val after1 = counts()
+    assert(after1("dup_pairs_batchlog") == 1 && after1("fp_store") == 2)
+    // foreachBatch re-delivery of the SAME batch id: nothing may grow —
+    // fingerprints, band rows, pairs, and the work ledger all stay put
+    StreamingDedup.applyBatch(batch1, 0L, provider, "fp_store", "dup_pairs", cfg, 3, 256)
+    assert(counts() == after1, s"re-delivered batch inflated a store: ${counts()} vs $after1")
+    // a NEW batch id (c3 = dup of c1) still applies and pairs normally
+    StreamingDedup.applyBatch(fps(("c3", 0, text(0))), 1L,
+      provider, "fp_store", "dup_pairs", cfg, 3, 256)
+    val after2 = counts()
+    assert(after2("dup_pairs_batchlog") == 2 && after2("fp_store") == 3)
+    val pairs = provider.read(spark, "dup_pairs")
+      .select($"conv_a", $"conv_b").as[(String, String)].collect()
+    assert(pairs.contains(("c1", "c3")), s"got ${pairs.toSeq}")
+  }
+
   test("watermarked window aggregation over a turn stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
