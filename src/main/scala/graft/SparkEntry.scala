@@ -1000,24 +1000,30 @@ object SparkEntry {
            bit_count(xor(a.simhash, b.simhash)) AS hamming
          FROM f a JOIN f b ON a.doc_id < b.doc_id
          ORDER BY hamming, doc_a, doc_b LIMIT 20""",
+    // Integer-exact mirror of IntraDup.convProfile: round-half-up of
+    // m·10^d/n as (2·m·10^d + n) // (2·n) and cross-multiplied integer
+    // routing predicates — engine-independent, no float rounding ties
+    // (round(avg(...),2) read 531.18 vs 531.17 across engines at 10×
+    // the gate scale).
     "conv_profile" ->
       """WITH a AS (
-           SELECT conv_id, count(*) AS n_turns,
-             avg(CASE WHEN role = 'tool' THEN 1.0 ELSE 0.0 END) AS tr,
-             avg(CASE WHEN role = 'user' THEN 1.0 ELSE 0.0 END) AS ur,
-             avg(len(text)) AS ac
+           SELECT conv_id, count(*) AS n,
+             sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS tm,
+             sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS um,
+             sum(len(text)) AS chars
            FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')
            GROUP BY 1),
-         c AS (SELECT *, greatest(tr, ur, 1.0 - tr - ur) AS conf FROM a)
-         SELECT conv_id, n_turns,
-           round(tr, 4) AS tool_ratio, round(ur, 4) AS user_ratio,
-           round(ac, 2) AS avg_turn_chars,
-           CASE WHEN conf < 0.15 THEN 'unknown'
-                WHEN tr >= 0.3 THEN 'tool_heavy'
-                WHEN ur >= 0.45 THEN 'interactive_dialog'
-                WHEN ac > 400 THEN 'longform'
+         c AS (SELECT *, greatest(tm, um, n - tm - um) AS cm FROM a)
+         SELECT conv_id, n AS n_turns,
+           ((2 * tm * 10000 + n) // (2 * n)) / 10000.0 AS tool_ratio,
+           ((2 * um * 10000 + n) // (2 * n)) / 10000.0 AS user_ratio,
+           ((2 * chars * 100 + n) // (2 * n)) / 100.0 AS avg_turn_chars,
+           CASE WHEN cm * 20 < n * 3 THEN 'unknown'
+                WHEN tm * 10 >= n * 3 THEN 'tool_heavy'
+                WHEN um * 20 >= n * 9 THEN 'interactive_dialog'
+                WHEN chars > n * 400 THEN 'longform'
                 ELSE 'dialog' END AS content_type,
-           round(conf, 4) AS confidence
+           ((2 * cm * 10000 + n) // (2 * n)) / 10000.0 AS confidence
          FROM c""",
     "multimodal_resized" ->
       """WITH b AS (SELECT doc_id, text, len(text) AS n FROM documents)

@@ -106,28 +106,45 @@ object IntraDup {
            "repeat_fraction", "clone_coverage")
   }
 
-  /** Content-type routing per conversation (modality analog). */
+  /** Content-type routing per conversation (modality analog).
+    *
+    * Integer-exact: every rounded output is round-half-up over exact
+    * integer sums — (2·m·10^d + n) div (2·n), scaled once at the end —
+    * and every routing comparison is a cross-multiplied integer
+    * predicate, so a replaying engine reproduces the values bit-for-bit.
+    * A plain round(avg(...), d) diverges across engines whenever the
+    * rational mean lands on a decimal tie (observed at 10× the oracle
+    * gate scale: mean 531.175 — Spark HALF_UPs the shortest decimal
+    * repr of the double to 531.18 while DuckDB scales-and-rounds the
+    * raw double, which sits one ulp below the tie, to 531.17). */
   def convProfile(turns: Dataset[Turn]): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
     val agg = turns.groupBy($"conv_id").agg(
-      count(lit(1)).as("n_turns"),
-      avg(when($"role" === "tool", 1.0).otherwise(0.0)).as("tool_ratio"),
-      avg(when($"role" === "user", 1.0).otherwise(0.0)).as("user_ratio"),
-      avg(length($"text")).as("avg_turn_chars"))
-    // routed type + confidence (margin between the two strongest signals)
-    val conf = greatest($"tool_ratio", $"user_ratio",
-      lit(1.0) - $"tool_ratio" - $"user_ratio")
+      count(lit(1)).as("n"),
+      sum(when($"role" === "tool", 1L).otherwise(0L)).as("tm"),
+      sum(when($"role" === "user", 1L).otherwise(0L)).as("um"),
+      sum(length($"text").cast("long")).as("chars"))
+    // round-half-up(m·10^d / n) via exact integers; quotients are ≤ ~1e7
+    // and the true value sits ≥ 1/(2n) from any integer, far above ulp,
+    // so floor over the correctly-rounded double division cannot misround
+    def rhu(m: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+            pow: Long): org.apache.spark.sql.Column =
+      floor((m * lit(2L * pow) + n) / (n * lit(2L)))
+    // confidence margin: the three signals share denominator n, so the
+    // margin is itself a ratio of exact integers
+    val cm = greatest($"tm", $"um", $"n" - $"tm" - $"um")
     agg.withColumn("content_type",
-        when(conf < 0.15, "unknown") // MODALITY_MIN_CONFIDENCE analog
-          .when($"tool_ratio" >= 0.3, "tool_heavy")
-          .when($"user_ratio" >= 0.45, "interactive_dialog")
-          .when($"avg_turn_chars" > 400, "longform")
+        when(cm * 20 < $"n" * 3, "unknown") // conf < 0.15 (MODALITY_MIN_CONFIDENCE analog)
+          .when($"tm" * 10 >= $"n" * 3, "tool_heavy")          // ratio >= 0.3
+          .when($"um" * 20 >= $"n" * 9, "interactive_dialog")  // ratio >= 0.45
+          .when($"chars" > $"n" * 400, "longform")             // mean chars > 400
           .otherwise("dialog"))
-      .withColumn("confidence", round(conf, 4))
-      .select($"conv_id", $"n_turns", round($"tool_ratio", 4).as("tool_ratio"),
-        round($"user_ratio", 4).as("user_ratio"),
-        round($"avg_turn_chars", 2).as("avg_turn_chars"),
+      .withColumn("confidence", rhu(cm, $"n", 10000L) / 10000.0)
+      .select($"conv_id", $"n".as("n_turns"),
+        (rhu($"tm", $"n", 10000L) / 10000.0).as("tool_ratio"),
+        (rhu($"um", $"n", 10000L) / 10000.0).as("user_ratio"),
+        (rhu($"chars", $"n", 100L) / 100.0).as("avg_turn_chars"),
         $"content_type", $"confidence")
   }
 }
