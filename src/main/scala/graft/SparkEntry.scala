@@ -594,52 +594,91 @@ object SparkEntry {
          SELECT doc_a, doc_b, minhash_est, source
          FROM rk WHERE rk_a <= 64 OR rk_b <= 64""",
     // Full SQL replay of the PIPELINE's candidate stage over the dumped
-    // signature surface (pipe_bands/pipe_variants/pipe_sigs8): band + exact-
-    // variant collisions → ≥2-band-hit prefilter (bundle-exempt) → DEBIASED
-    // 8-bit b-bit estimate filter at simThreshold=0.25 → per-doc top-64 cap
-    // windows. band_id provenance: min colliding band index, −1 whenever a
-    // bundle variant participates (the Spark groupBy min() sees the variant
-    // rows' −1). minhash_est = (eq/128 − 2⁻⁸)/(1 − 2⁻⁸) clamped at 0 is
+    // signature surface (pipe_bands/pipe_variants/pipe_salth/pipe_sigs8),
+    // INCLUDING the salted regime: unified (bkey) bucket space → singleton
+    // drop → n_salts = ceil(bsz/256) sub-bucketing on the dumped per-conv
+    // salt hash (pmod, engine parity for negative hashes) → within-
+    // (bkey, salt) pair enumeration + the rep-chain bridges linking
+    // consecutive sub-buckets → per-pair dedup (min band_id, −1 when a
+    // bundle variant participates) → ≥2-band-hit prefilter (bundle/bridge-
+    // exempt) → DEBIASED 8-bit b-bit estimate filter at simThreshold=0.25
+    // (bundle/bridge-exempt) → per-doc top-64 cap windows (bundle/bridge
+    // rank 1.0). minhash_est = (eq/128 − 2⁻⁸)/(1 − 2⁻⁸) clamped at 0 is
     // bit-identical in both engines (dyadic inputs, one correctly-rounded
-    // division) — no rounding needed. No salted buckets at this corpus
-    // size, so the bridge/salt path contributes nothing (the Spark side
-    // would emit source='…+bridge' rows and sub-bucket-restricted pairs,
-    // failing this compare if that ever changed).
+    // division) — no rounding needed. Earlier rounds assumed the no-salt
+    // regime (green at sf0.01 only); this replay is corpus-size-exact —
+    // verified green at sf0.1, where 12 of the oracle's former rows sit in
+    // over-cap buckets the engine salts (cross-sub-bucket pairs replaced by
+    // bridge connectivity).
     "flag_dedup_candidates" ->
       """WITH bands AS (
            SELECT conv_id, band_id, band_key
            FROM read_parquet('{GRAFT_OUT}/pipe_bands/*.parquet')),
          vars AS (
-           SELECT conv_id, v_id, v_hash
+           SELECT conv_id, v_id, v_hash, bkey
            FROM read_parquet('{GRAFT_OUT}/pipe_variants/*.parquet')),
+         salth AS (
+           SELECT conv_id, salt_h
+           FROM read_parquet('{GRAFT_OUT}/pipe_salth/*.parquet')),
          sigs AS (
            SELECT conv_id, pos, m8
            FROM read_parquet('{GRAFT_OUT}/pipe_sigs8/*.parquet')),
-         lsh AS (
+         items AS (
+           SELECT conv_id, band_key AS bkey, band_id, 0 AS src FROM bands
+           UNION ALL
+           SELECT conv_id, bkey, -1 AS band_id, 1 AS src FROM vars),
+         sized AS (
+           SELECT *, count(*) OVER (PARTITION BY bkey) AS bsz FROM items),
+         salted AS (
+           SELECT i.conv_id, i.bkey,
+                  min(i.band_id) OVER (PARTITION BY i.bkey, CASE
+                    WHEN i.bsz <= 256 THEN 0
+                    ELSE ((s.salt_h % CAST(ceil(i.bsz / 256.0) AS BIGINT))
+                          + CAST(ceil(i.bsz / 256.0) AS BIGINT))
+                         % CAST(ceil(i.bsz / 256.0) AS BIGINT) END) AS band_id,
+                  min(i.src) OVER (PARTITION BY i.bkey, CASE
+                    WHEN i.bsz <= 256 THEN 0
+                    ELSE ((s.salt_h % CAST(ceil(i.bsz / 256.0) AS BIGINT))
+                          + CAST(ceil(i.bsz / 256.0) AS BIGINT))
+                         % CAST(ceil(i.bsz / 256.0) AS BIGINT) END) AS src,
+                  CASE WHEN i.bsz <= 256 THEN 0
+                    ELSE ((s.salt_h % CAST(ceil(i.bsz / 256.0) AS BIGINT))
+                          + CAST(ceil(i.bsz / 256.0) AS BIGINT))
+                         % CAST(ceil(i.bsz / 256.0) AS BIGINT) END AS salt
+           FROM sized i JOIN salth s ON s.conv_id = i.conv_id
+           WHERE i.bsz >= 2),
+         inpairs AS (
            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
-                  count(*) AS lsh_hits, min(a.band_id) AS min_band
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key AND a.conv_id < b.conv_id
-           GROUP BY 1, 2),
-         bund AS (
-           SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
-           FROM vars a JOIN vars b
-             ON a.v_id = b.v_id AND a.v_hash = b.v_hash
+                  a.band_id, a.src
+           FROM salted a JOIN salted b
+             ON a.bkey = b.bkey AND a.salt = b.salt
             AND a.conv_id < b.conv_id),
+         reps AS (
+           SELECT bkey, salt, min(conv_id) AS rep,
+                  min(band_id) AS band_id, min(src) AS src
+           FROM salted GROUP BY 1, 2),
+         bridges AS (
+           SELECT least(rep, next_rep) AS conv_a,
+                  greatest(rep, next_rep) AS conv_b,
+                  band_id, src + 2 AS src
+           FROM (SELECT *, lead(rep) OVER (PARTITION BY bkey ORDER BY salt)
+                   AS next_rep FROM reps)
+           WHERE next_rep IS NOT NULL AND rep <> next_rep),
+         allp AS (
+           SELECT * FROM inpairs UNION ALL SELECT * FROM bridges),
          uniq AS (
-           SELECT coalesce(l.conv_a, bu.conv_a) AS conv_a,
-                  coalesce(l.conv_b, bu.conv_b) AS conv_b,
-                  coalesce(l.lsh_hits, 0) AS lsh_hits,
-                  CASE WHEN bu.conv_a IS NOT NULL THEN 1 ELSE 0 END AS has_bundle,
-                  CASE WHEN bu.conv_a IS NOT NULL THEN -1
-                       ELSE l.min_band END AS band_id
-           FROM lsh l FULL OUTER JOIN bund bu
-             ON l.conv_a = bu.conv_a AND l.conv_b = bu.conv_b),
+           SELECT conv_a, conv_b, min(band_id) AS band_id,
+                  sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS lsh_hits,
+                  max(CASE WHEN src = 1 OR src = 3 THEN 1 ELSE 0 END) AS has_bundle,
+                  max(CASE WHEN src >= 2 THEN 1 ELSE 0 END) AS has_bridge
+           FROM allp GROUP BY 1, 2),
          filt AS (
-           SELECT * FROM uniq WHERE has_bundle = 1 OR lsh_hits >= 2),
+           SELECT * FROM uniq
+           WHERE has_bundle = 1 OR has_bridge = 1 OR lsh_hits >= 2),
          eqs AS (
            SELECT f.conv_a, f.conv_b, min(f.band_id) AS band_id,
                   min(f.lsh_hits) AS lsh_hits, min(f.has_bundle) AS has_bundle,
+                  min(f.has_bridge) AS has_bridge,
                   sum(CASE WHEN sa.m8 = sb.m8 THEN 1 ELSE 0 END) AS eq,
                   count(*) AS n
            FROM filt f
@@ -650,21 +689,23 @@ object SparkEntry {
            SELECT conv_a, conv_b, band_id,
                   greatest(0.0, (eq::DOUBLE / n - 1.0/256) / (1.0 - 1.0/256))
                     AS minhash_est,
-                  lsh_hits, has_bundle,
-                  CASE WHEN lsh_hits > 0 AND has_bundle = 1 THEN 'lsh+bundle'
-                       WHEN lsh_hits > 0 THEN 'lsh' ELSE 'bundle' END AS source,
+                  has_bundle, has_bridge,
+                  concat_ws('+',
+                    CASE WHEN lsh_hits > 0 THEN 'lsh' END,
+                    CASE WHEN has_bundle = 1 THEN 'bundle' END,
+                    CASE WHEN has_bridge = 1 THEN 'bridge' END) AS source,
                   conv_a || '|' || conv_b AS pair_key
            FROM eqs
            WHERE greatest(0.0, (eq::DOUBLE / n - 1.0/256) / (1.0 - 1.0/256)) >= 0.25
-              OR has_bundle = 1),
+              OR has_bundle = 1 OR has_bridge = 1),
          rk AS (
            SELECT *,
              row_number() OVER (PARTITION BY conv_a ORDER BY
-               greatest(minhash_est, CASE WHEN has_bundle = 1 THEN 1.0 ELSE 0.0 END)
-                 DESC, pair_key) AS rk_a,
+               greatest(minhash_est, CASE WHEN has_bundle = 1 OR has_bridge = 1
+                 THEN 1.0 ELSE 0.0 END) DESC, pair_key) AS rk_a,
              row_number() OVER (PARTITION BY conv_b ORDER BY
-               greatest(minhash_est, CASE WHEN has_bundle = 1 THEN 1.0 ELSE 0.0 END)
-                 DESC, pair_key) AS rk_b
+               greatest(minhash_est, CASE WHEN has_bundle = 1 OR has_bridge = 1
+                 THEN 1.0 ELSE 0.0 END) DESC, pair_key) AS rk_b
            FROM surv)
          SELECT pair_key, conv_a, conv_b, minhash_est,
            band_id::INTEGER AS band_id, source

@@ -361,8 +361,19 @@ object LshJoin {
   def oracleSurface(sigs: Dataset[DocSig]): Seq[(String, DataFrame)] = Seq(
     "pipe_bands" -> sigs.select(col("conv_id"),
       posexplode(col("bands")).as(Seq("band_id", "band_key"))),
+    // bkey = the mixed bucket key `candidates` actually groups on (same
+    // xxhash64 call over the same exploded columns) — dumped so the replay
+    // can size/salt variant buckets in the SAME key space as the engine
     "pipe_variants" -> sigs.select(col("conv_id"),
-      posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash"))),
+        posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash")))
+      .withColumn("bkey", xxhash64(col("v_id"), col("v_hash"))),
+    // per-conv salt hash: saltedBucketPairs assigns an over-cap bucket's
+    // member to sub-bucket pmod(xxhash64(conv_id), n_salts) — dumping the
+    // hash (not the salt, which depends on per-bucket n_salts) lets SQL
+    // reproduce the full salted enumeration + bridge chain at any corpus
+    // size, instead of assuming the no-salt regime
+    "pipe_salth" -> sigs.select(col("conv_id"),
+      xxhash64(col("conv_id")).as("salt_h")),
     "pipe_sigs8" -> sigs
       .select(col("conv_id"), posexplode(col("minhash")).as(Seq("pos", "m64")))
       .select(col("conv_id"), col("pos"),
