@@ -521,77 +521,109 @@ object SparkEntry {
            round(sum(hit)::DOUBLE / count(*), 4) AS detection_rate
          FROM j GROUP BY 1, 2""",
     // Full SQL replay of the LSH candidate join over the dumped signature
-    // surface: band-key collisions → ≥2-band-hit prefilter (bundle-exempt)
-    // → DEBIASED 8-bit b-bit-minwise estimate filter at 0.5 → per-doc
-    // top-64 cap windows. est_raw = (eq/n − 2⁻⁸)/(1 − 2⁻⁸) clamped at 0 is
+    // surface, INCLUDING the salted regime (same structure as the
+    // flag_dedup_candidates replay: unified bkey bucket space → singleton
+    // drop → ceil(bsz/256) sub-bucketing on the dumped per-doc salt hash →
+    // within-(bkey, salt) enumeration + rep-chain bridges → dedup →
+    // ≥2-band-hit prefilter → DEBIASED 8-bit estimate filter at 0.5 →
+    // per-doc top-64 cap windows, bundle/bridge exempt from both gates and
+    // ranked 1.0). est_raw = (eq/n − 2⁻⁸)/(1 − 2⁻⁸) clamped at 0 is
     // bit-identical to the Spark kernel (eq/n and 2⁻⁸ are dyadic, the final
-    // division correctly rounded in both engines). Pair orientation
-    // replicates the join's STRING comparison of conv ids;
-    // floor(x*1e6+0.5)/1e6 replicates Spark's HALF_UP round(est, 6)
-    // (est_raw's 1e6-multiples sit ≥0.0019 from any .5 boundary — the
-    // granularity is k/255). No salted buckets at this corpus size, so the
-    // bridge path contributes nothing (the Spark side would emit
-    // source='...bridge' rows and fail the compare if that ever changed).
+    // division correctly rounded in both engines). The bucket phase orders
+    // doc ids by their STRING form — the engine runs on conv_id strings —
+    // and casts back to BIGINT at the output. floor(x*1e6+0.5)/1e6
+    // replicates Spark's HALF_UP round(est, 6) (est_raw's 1e6-multiples sit
+    // ≥0.0019 from any .5 boundary — the granularity is k/255).
     "minhash_docs_lsh" ->
       """WITH bands AS (
            SELECT doc_id, band_key
            FROM read_parquet('{GRAFT_OUT}/minhash_doc_bands/*.parquet')),
          vars AS (
-           SELECT doc_id, v_id, v_hash
+           SELECT doc_id, v_id, v_hash, bkey
            FROM read_parquet('{GRAFT_OUT}/minhash_doc_variants/*.parquet')),
+         salth AS (
+           SELECT doc_id, salt_h
+           FROM read_parquet('{GRAFT_OUT}/minhash_doc_salth/*.parquet')),
          sigs AS (
            SELECT doc_id, pos, m8
            FROM read_parquet('{GRAFT_OUT}/minhash_doc_sigs8/*.parquet')),
-         lsh AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS lsh_hits
-           FROM bands a JOIN bands b
-             ON a.band_key = b.band_key
-            AND a.doc_id::VARCHAR < b.doc_id::VARCHAR
-           GROUP BY 1, 2),
-         bund AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM vars a JOIN vars b
-             ON a.v_id = b.v_id AND a.v_hash = b.v_hash
-            AND a.doc_id::VARCHAR < b.doc_id::VARCHAR),
+         items AS (
+           SELECT doc_id::VARCHAR AS did, band_key AS bkey, 0 AS src FROM bands
+           UNION ALL
+           SELECT doc_id::VARCHAR AS did, bkey, 1 AS src FROM vars),
+         sized AS (
+           SELECT *, count(*) OVER (PARTITION BY bkey) AS bsz FROM items),
+         salted AS (
+           SELECT i.did, i.bkey,
+                  min(i.src) OVER (PARTITION BY i.bkey, CASE
+                    WHEN i.bsz <= 256 THEN 0
+                    ELSE ((s.salt_h % CAST(ceil(i.bsz / 256.0) AS BIGINT))
+                          + CAST(ceil(i.bsz / 256.0) AS BIGINT))
+                         % CAST(ceil(i.bsz / 256.0) AS BIGINT) END) AS src,
+                  CASE WHEN i.bsz <= 256 THEN 0
+                    ELSE ((s.salt_h % CAST(ceil(i.bsz / 256.0) AS BIGINT))
+                          + CAST(ceil(i.bsz / 256.0) AS BIGINT))
+                         % CAST(ceil(i.bsz / 256.0) AS BIGINT) END AS salt
+           FROM sized i JOIN salth s ON s.doc_id::VARCHAR = i.did
+           WHERE i.bsz >= 2),
+         inpairs AS (
+           SELECT a.did AS da, b.did AS db, a.src
+           FROM salted a JOIN salted b
+             ON a.bkey = b.bkey AND a.salt = b.salt AND a.did < b.did),
+         reps AS (
+           SELECT bkey, salt, min(did) AS rep, min(src) AS src
+           FROM salted GROUP BY 1, 2),
+         bridges AS (
+           SELECT least(rep, next_rep) AS da, greatest(rep, next_rep) AS db,
+                  src + 2 AS src
+           FROM (SELECT *, lead(rep) OVER (PARTITION BY bkey ORDER BY salt)
+                   AS next_rep FROM reps)
+           WHERE next_rep IS NOT NULL AND rep <> next_rep),
+         allp AS (
+           SELECT * FROM inpairs UNION ALL SELECT * FROM bridges),
          uniq AS (
-           SELECT coalesce(l.doc_a, bu.doc_a) AS doc_a,
-                  coalesce(l.doc_b, bu.doc_b) AS doc_b,
-                  coalesce(l.lsh_hits, 0) AS lsh_hits,
-                  CASE WHEN bu.doc_a IS NOT NULL THEN 1 ELSE 0 END AS has_bundle
-           FROM lsh l FULL OUTER JOIN bund bu
-             ON l.doc_a = bu.doc_a AND l.doc_b = bu.doc_b),
+           SELECT da, db,
+                  sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS lsh_hits,
+                  max(CASE WHEN src = 1 OR src = 3 THEN 1 ELSE 0 END) AS has_bundle,
+                  max(CASE WHEN src >= 2 THEN 1 ELSE 0 END) AS has_bridge
+           FROM allp GROUP BY 1, 2),
          filt AS (
-           SELECT * FROM uniq WHERE has_bundle = 1 OR lsh_hits >= 2),
+           SELECT * FROM uniq
+           WHERE has_bundle = 1 OR has_bridge = 1 OR lsh_hits >= 2),
          eqs AS (
-           SELECT f.doc_a, f.doc_b, min(f.lsh_hits) AS lsh_hits,
+           SELECT f.da, f.db, min(f.lsh_hits) AS lsh_hits,
                   min(f.has_bundle) AS has_bundle,
+                  min(f.has_bridge) AS has_bridge,
                   sum(CASE WHEN sa.m8 = sb.m8 THEN 1 ELSE 0 END) AS eq,
                   count(*) AS n
            FROM filt f
-           JOIN sigs sa ON sa.doc_id = f.doc_a
-           JOIN sigs sb ON sb.doc_id = f.doc_b AND sb.pos = sa.pos
+           JOIN sigs sa ON sa.doc_id::VARCHAR = f.da
+           JOIN sigs sb ON sb.doc_id::VARCHAR = f.db AND sb.pos = sa.pos
            GROUP BY 1, 2),
          surv AS (
-           SELECT doc_a, doc_b, lsh_hits, has_bundle,
+           SELECT da, db, has_bundle, has_bridge,
                   greatest(0.0, (eq::DOUBLE / n - 1.0/256) / (1.0 - 1.0/256)) AS est_raw,
                   floor(greatest(0.0, (eq::DOUBLE / n - 1.0/256) / (1.0 - 1.0/256))
                         * 1000000.0 + 0.5) / 1000000.0 AS minhash_est,
-                  CASE WHEN lsh_hits > 0 AND has_bundle = 1 THEN 'lsh+bundle'
-                       WHEN lsh_hits > 0 THEN 'lsh' ELSE 'bundle' END AS source,
-                  doc_a::VARCHAR || '|' || doc_b::VARCHAR AS pair_key
+                  concat_ws('+',
+                    CASE WHEN lsh_hits > 0 THEN 'lsh' END,
+                    CASE WHEN has_bundle = 1 THEN 'bundle' END,
+                    CASE WHEN has_bridge = 1 THEN 'bridge' END) AS source,
+                  da || '|' || db AS pair_key
            FROM eqs
            WHERE greatest(0.0, (eq::DOUBLE / n - 1.0/256) / (1.0 - 1.0/256)) >= 0.5
-              OR has_bundle = 1),
+              OR has_bundle = 1 OR has_bridge = 1),
          rk AS (
            SELECT *,
-             row_number() OVER (PARTITION BY doc_a ORDER BY
-               greatest(est_raw, CASE WHEN has_bundle = 1 THEN 1.0 ELSE 0.0 END)
-                 DESC, pair_key) AS rk_a,
-             row_number() OVER (PARTITION BY doc_b ORDER BY
-               greatest(est_raw, CASE WHEN has_bundle = 1 THEN 1.0 ELSE 0.0 END)
-                 DESC, pair_key) AS rk_b
+             row_number() OVER (PARTITION BY da ORDER BY
+               greatest(est_raw, CASE WHEN has_bundle = 1 OR has_bridge = 1
+                 THEN 1.0 ELSE 0.0 END) DESC, pair_key) AS rk_a,
+             row_number() OVER (PARTITION BY db ORDER BY
+               greatest(est_raw, CASE WHEN has_bundle = 1 OR has_bridge = 1
+                 THEN 1.0 ELSE 0.0 END) DESC, pair_key) AS rk_b
            FROM surv)
-         SELECT doc_a, doc_b, minhash_est, source
+         SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+           minhash_est, source
          FROM rk WHERE rk_a <= 64 OR rk_b <= 64""",
     // Full SQL replay of the PIPELINE's candidate stage over the dumped
     // signature surface (pipe_bands/pipe_variants/pipe_salth/pipe_sigs8),

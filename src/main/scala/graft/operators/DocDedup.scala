@@ -90,14 +90,22 @@ object DocDedup {
     * hash-exact against `minhash_docs_lsh`. */
   def minhashLshOracleTables(spark: SparkSession,
                              docs: DataFrame): Seq[(String, DataFrame)] = {
+    // salt_h is computed over the STRING conv_id — the key the engine's
+    // saltedBucketPairs actually hashes (docSigs casts doc_id to string)
     val sigs = docSigs(spark, docs).select(
       col("conv_id").cast("long").as("doc_id"),
+      xxhash64(col("conv_id")).as("salt_h"),
       col("minhash"), col("bands"), col("simhash_bundle"))
     Seq(
       "minhash_doc_bands" -> sigs.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_id", "band_key"))),
+      // bkey = the mixed bucket key candidates groups variant rows on
+      // (same xxhash64 call over the same exploded columns); salt_h lets
+      // the replay sub-bucket over-cap buckets exactly like the engine
       "minhash_doc_variants" -> sigs.select(col("doc_id"),
-        posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash"))),
+          posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash")))
+        .withColumn("bkey", xxhash64(col("v_id"), col("v_hash"))),
+      "minhash_doc_salth" -> sigs.select(col("doc_id"), col("salt_h")),
       // the same low-byte truncation the scoring join packs (0-255 as int:
       // byte equality in the kernel ⟺ m8 equality here)
       "minhash_doc_sigs8" -> sigs
