@@ -237,7 +237,8 @@ object StreamingDedup {
     * batch's candidate join actually opened AFTER bucket pruning — the
     * bounded-I/O evidence (StreamingSpec asserts it stays flat while
     * unrelated buckets grow). */
-  case class BatchWork(batch_id: Long, n_delta: Long, n_delta_band_rows: Long,
+  case class BatchWork(batch_id: Long, delta_fp: Long, n_delta: Long,
+                       n_delta_band_rows: Long,
                        n_cand_ids: Long, n_new_pairs: Long,
                        n_store_files_scanned: Long, ts: String)
 
@@ -253,8 +254,12 @@ object StreamingDedup {
   /** Bucket-pruned view of the accumulated band store for a batch delta:
     * directory-level partition pruning on the delta's bucket set (≤
     * storeBuckets values, computed FROM the delta — one tiny distinct).
-    * A legacy unpartitioned store (no `bucket` column) degrades to a full
-    * scan with identical semantics. bkey-level IN-pushdown is deliberately
+    * A store without a `bucket` column degrades to a full scan with
+    * identical semantics (defense-in-depth only — requireBucketLayout
+    * refuses to START a stream over a legacy flat store, because APPENDING
+    * bucket partitions next to flat files would corrupt partition
+    * discovery; compactStore is the migration path).
+    * bkey-level IN-pushdown is deliberately
     * NOT attempted on the parquet seam — Spark only pushes tiny IN lists
     * into parquet (spark.sql.parquet.pushdown.inFilterThreshold) and a
     * band-key range is useless for xxhash-uniform keys; on Iceberg the
@@ -283,7 +288,20 @@ object StreamingDedup {
           s"this run passed $storeBuckets — matching moduli are required " +
           s"for correct bucket pruning (run compactStore with the new value " +
           s"to re-layout)")
-    } else provider.write(Seq(storeBuckets).toDF("store_buckets"), metaTbl)
+    } else {
+      // no meta + an EXISTING band table = a pre-bucketing legacy store of
+      // flat part files. Stamping the meta and appending bucket=N/
+      // subdirectories next to them would corrupt Spark's partition
+      // discovery on the next read ("conflicting directory structures") —
+      // the stream would die one batch later. Refuse loudly; compactStore
+      // is the sanctioned migration (it rewrites every band row under the
+      // bucket layout and moves the meta with it).
+      require(!provider.exists(spark, bandsTbl),
+        s"band store $bandsTbl exists without a bucket layout (written by " +
+          s"a pre-bucketing version): run compactStore(...) to migrate it " +
+          s"before starting the incremental stream")
+      provider.write(Seq(storeBuckets).toDF("store_buckets"), metaTbl)
+    }
   }
 
   /**
@@ -351,20 +369,51 @@ object StreamingDedup {
         // Idempotency under foreachBatch re-delivery (ADVICE r04): the
         // batchlog row is the batch's commit marker — a batch that already
         // logged is never re-applied, so a retried delivery cannot inflate
-        // the append-only stores or the O(|delta|) work ledger. (The log is
-        // one row per batch, so this probe scans a tiny table. A crash
-        // BETWEEN appends can still leave a partial batch — exactly-once
-        // needs a transactional seam like Iceberg — but the common
-        // redelivery-after-success path is closed, and every partial-state
-        // append is individually harmless: dup fingerprints collapse in
-        // latestPerConv, dup band rows only re-nominate candidates, and
-        // pairs are anti-joined against the store.)
-        val alreadyApplied = provider.exists(spark, logTbl) &&
-          !provider.read(spark, logTbl)
-            .filter(col("batch_id") === batchId).isEmpty
-        if (!alreadyApplied) {
+        // the append-only stores or the O(|delta|) work ledger. The marker
+        // is (batch_id, delta CONTENT fingerprint), not batch_id alone:
+        // foreachBatch batchIds are only unique within one run of a query —
+        // a restarted stream without a durable checkpointLocation delivers
+        // NEW data as batchId 0, 1, …, which a batch_id-only probe would
+        // silently skip as "already applied" (permanent recall loss, no
+        // error). Spark's redelivery contract is same-id ⇒ same content, so
+        // the pair still dedupes true retries; an identical-content
+        // collision across runs skips work that would have been a no-op
+        // anyway (same fingerprints collapse in latestPerConv, same pairs
+        // anti-join away). (The log is one row per batch, so this probe
+        // scans a tiny table. A crash BETWEEN appends can still leave a
+        // partial batch — exactly-once needs a transactional seam like
+        // Iceberg — but the common redelivery-after-success path is closed,
+        // and every partial-state append is individually harmless: dup
+        // fingerprints collapse in latestPerConv, dup band rows only
+        // re-nominate candidates, and pairs are anti-joined against the
+        // store.)
         val delta = latestPerConv(batchDf).localCheckpoint(true)
         val nDelta = delta.count()
+        // order-independent content hash of the deduped delta; bit_xor over
+        // per-row xxhash64 is engine-stable and commutative, coalesce
+        // covers the empty batch
+        val deltaFp = if (nDelta == 0) 0L else delta
+          .agg(coalesce(bit_xor(
+            xxhash64(col("conv_id"), col("n_turns"), col("content_hash"))),
+            lit(0L)))
+          .head().getLong(0)
+        // a batchlog written by the pre-fingerprint version lacks delta_fp:
+        // fall back to the batch_id-only probe AND keep appending the old
+        // schema (mixing schemas in one parquet dir would make reads
+        // file-order-dependent); compactStore-era logs migrate naturally
+        // when a fresh store is started
+        val existingLog =
+          if (provider.exists(spark, logTbl)) Some(provider.read(spark, logTbl))
+          else None
+        val legacyLog = existingLog.exists(!_.columns.contains("delta_fp"))
+        val alreadyApplied = existingLog.exists { log =>
+          val probe =
+            if (legacyLog) log.filter(col("batch_id") === batchId)
+            else log.filter(col("batch_id") === batchId &&
+              col("delta_fp") === deltaFp)
+          !probe.isEmpty
+        }
+        if (!alreadyApplied) {
         if (nDelta > 0) {
           val deltaBands = bandRows(delta, cfg)
             .withColumn("bucket", bandBucket(col("bkey"), storeBuckets))
@@ -432,10 +481,11 @@ object StreamingDedup {
           } else 0L
           provider.append(delta, storeTbl)
           provider.appendPartitioned(deltaBands, bandsTbl, Seq("bucket"))
+          val workRow = Seq(BatchWork(batchId, deltaFp, nDelta, nDeltaBands,
+            nCand, nFresh, nStoreFiles,
+            java.time.Instant.now.toString)).toDF()
           provider.append(
-            Seq(BatchWork(batchId, nDelta, nDeltaBands, nCand, nFresh,
-              nStoreFiles, java.time.Instant.now.toString)).toDF(),
-            logTbl)
+            if (legacyLog) workRow.drop("delta_fp") else workRow, logTbl)
         }
         } // !alreadyApplied
         ()

@@ -38,4 +38,15 @@ class BenchSizingSpec extends SparkSpec {
       assert(Bench.sizeShuffleForCorpus(spark, nTurns = Long.MaxValue / 2) == 4096)
     }
   }
+
+  test("the 4096 cap bounds only the data-derived value, never a caller's setting") {
+    withRestoredConf {
+      // an operator who pre-sized ABOVE the cap for a huge corpus keeps
+      // their choice — capping after the max would silently downgrade the
+      // session and re-grow every SHJ build map
+      spark.conf.set("spark.sql.shuffle.partitions", 8192)
+      assert(Bench.sizeShuffleForCorpus(spark, nTurns = Long.MaxValue / 2) == 8192)
+      assert(spark.sessionState.conf.numShufflePartitions == 8192)
+    }
+  }
 }

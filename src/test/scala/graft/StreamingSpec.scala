@@ -349,6 +349,43 @@ class StreamingSpec extends SparkSpec {
     val pairs = provider.read(spark, "dup_pairs")
       .select($"conv_a", $"conv_b").as[(String, String)].collect()
     assert(pairs.contains(("c1", "c3")), s"got ${pairs.toSeq}")
+    // RESTART semantics: a stream restarted without a durable checkpoint
+    // delivers NEW data as batchId 0 again — the commit marker is
+    // (batch_id, delta content fingerprint), so this must APPLY, not be
+    // silently skipped as "already applied" (which would permanently drop
+    // the first batches of every restart)
+    StreamingDedup.applyBatch(fps(("c4", 0, text(6000))), 0L,
+      provider, "fp_store", "dup_pairs", cfg, 3, 256)
+    val after3 = counts()
+    assert(after3("fp_store") == 4 && after3("dup_pairs_batchlog") == 3,
+      s"restarted batchId 0 with new content was dropped: $after3")
+    // and a true re-delivery of THAT batch is still a no-op
+    StreamingDedup.applyBatch(fps(("c4", 0, text(6000))), 0L,
+      provider, "fp_store", "dup_pairs", cfg, 3, 256)
+    assert(counts() == after3,
+      s"re-delivered restart batch inflated a store: ${counts()} vs $after3")
+  }
+
+  test("a legacy flat band store is refused at stream start (compactStore migrates)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy_").toString
+    val provider = new graft.sources.ParquetDirProvider(dir, "")
+    // a pre-bucketing store: flat part files, no bucket column, no meta —
+    // appending bucket=N/ subdirectories next to these would corrupt
+    // partition discovery on the next read, so the guard must refuse
+    provider.write(Seq(("c1", 42L)).toDF("conv_id", "bkey"), "fp_store_bands")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.requireBucketLayout(spark, provider, "fp_store_bands", 256)
+    }
+    assert(e.getMessage.contains("without a bucket layout"))
+    // compactStore rewrites the store under the bucket layout and stamps
+    // the meta; the guard then admits the stream
+    provider.write(Seq(StreamingDedup.ConvFingerprint("c1", 2, 1L, 5L,
+      Array.fill(128)(1L), new java.sql.Timestamp(0L), finalized = false))
+      .toDS().toDF(), "fp_store")
+    StreamingDedup.compactStore(spark, provider, "fp_store", "dup_pairs",
+      graft.model.DedupConfig.balanced, storeBuckets = 256)
+    StreamingDedup.requireBucketLayout(spark, provider, "fp_store_bands", 256)
   }
 
   test("watermarked window aggregation over a turn stream") {
