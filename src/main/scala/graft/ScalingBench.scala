@@ -44,7 +44,8 @@ object ScalingBench {
     threads.toDouble * iters / ((System.nanoTime() - t0) / 1e9)
   }
 
-  private def timedRun(cpus: Int, nBase: Long): (Long, Double, Map[String, Double]) = {
+  private def timedRun(cpus: Int, nBase: Long,
+                       floorParts: Int): (Long, Double, Map[String, Double]) = {
     val spark = Bench.session(cpus.toString)
     try {
       val spec = sources.ConversationGen.CorpusSpec(nBase, 60, 400)
@@ -52,9 +53,16 @@ object ScalingBench {
       // dedup job, not synthetic-input generation
       val corpus = sources.ConversationGen.corpus(spark, spec).persist()
       val nTurns = corpus.count()
-      // both levels derive the same data-sized value → identical plans,
-      // only the thread count differs (see Bench.sizeShuffleForCorpus)
-      Bench.sizeShuffleForCorpus(spark, nTurns): Unit
+      // identical-plan guarantee at ANY corpus size: sizeShuffleForCorpus
+      // floors at the session's OWN core count, so for corpora whose
+      // data-derived value sits below the large level's cores the two
+      // levels would get different shuffle-partition counts (different
+      // physical plans — the exact confound this methodology removes).
+      // Both levels therefore also floor at the LARGE level's core count,
+      // passed in as floorParts; at the gate corpora (2.3M/9.1M turns:
+      // 36/142 partitions) the data term dominates and this is a no-op.
+      val parts = math.max(Bench.sizeShuffleForCorpus(spark, nTurns), floorParts)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
       val t0 = System.nanoTime()
       val result = operators.Pipeline.runPipelined(corpus, model.DedupConfig.balanced)
       result.clusters.count()
@@ -115,8 +123,8 @@ object ScalingBench {
     val stagesL = collection.mutable.ArrayBuffer[Map[String, Double]]()
     var nTurns = 0L
     (1 to reps + discard).foreach { i =>
-      val (n1, s1, st1) = timedRun(small, nBase); nTurns = n1
-      val (n2, s2, st2) = timedRun(large, nBase); require(n1 == n2)
+      val (n1, s1, st1) = timedRun(small, nBase, large); nTurns = n1
+      val (n2, s2, st2) = timedRun(large, nBase, large); require(n1 == n2)
       if (i > discard) { secS += s1; secL += s2; stagesS += st1; stagesL += st2 }
       else { dropS += s1; dropL += s2 }
     }

@@ -151,9 +151,14 @@ object SparkEntry {
     }),
     // run-policy gates over the pipeline's own output (unlabeled-data tuning
     // aid, local_eval_policy.py:23-31 analog) — oracled via the
-    // flag_dedup_tiers dump Verify writes next to the query outputs
+    // flag_dedup_tiers + corpus_turns dumps Verify writes next to the query
+    // outputs. corpusIds feeds the degeneracy probe the WHOLE id space, so
+    // a run whose detections collapse into one id class fails the
+    // cross-group gate rather than abstaining
     "flag_policy_gates" -> ((s, d) =>
-      PolicyGates.evaluate(pipelineFor(s, d).tiered.toDF())),
+      PolicyGates.evaluate(pipelineFor(s, d).tiered.toDF(),
+        corpusIds = Some(corpusFor(s, d).toDF()
+          .select(org.apache.spark.sql.functions.col("conv_id"))))),
 
     // ---- dedup operators over the documents table (oracled) -------------
     // exact dedup via content fingerprint hash-groupBy (S3 sink shape; the
@@ -486,9 +491,9 @@ object SparkEntry {
                             OR (max_span_len >= 200 AND span_frac >= 0.30))
                             AND tier = 'A' THEN 1 ELSE 0 END), 0)::BIGINT AS anchors_a
            FROM t),
-         c AS (SELECT count(DISTINCT cls) AS n_classes FROM (
-                 SELECT regexp_extract(conv_a, '^[a-z]+') AS cls FROM t
-                 UNION SELECT regexp_extract(conv_b, '^[a-z]+') FROM t)),
+         c AS (SELECT count(DISTINCT regexp_extract(conv_id, '^[a-z]+'))
+                 AS n_classes
+               FROM read_parquet('{GRAFT_OUT}/corpus_turns/*.parquet')),
          p AS (SELECT *, CASE WHEN anchors = 0 THEN 1.0
                               ELSE anchors_a::DOUBLE / anchors END AS aprec
                FROM s, c)

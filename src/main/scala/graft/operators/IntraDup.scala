@@ -116,7 +116,16 @@ object IntraDup {
     * rational mean lands on a decimal tie (observed at 10× the oracle
     * gate scale: mean 531.175 — Spark HALF_UPs the shortest decimal
     * repr of the double to 531.18 while DuckDB scales-and-rounds the
-    * raw double, which sits one ulp below the tie, to 531.17). */
+    * raw double, which sits one ulp below the tie, to 531.17).
+    *
+    * Null-text convention: avg_turn_chars counts a null-text turn as 0
+    * chars but keeps it in the denominator (sum(length)/n, where length
+    * of null contributes nothing to the sum) — deliberate for routing: a
+    * conversation padded with empty/null turns is NOT longform, and the
+    * ratio denominators (tool/user/confidence) already count all turns.
+    * The old avg(length(text)) silently excluded null-text rows from the
+    * denominator instead; the oracle SQL (sum(len(text))/n) matches the
+    * current convention exactly. */
   def convProfile(turns: Dataset[Turn]): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._

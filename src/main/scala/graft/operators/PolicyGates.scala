@@ -54,13 +54,32 @@ object PolicyGates {
    *
    * Without a groups table the cross-group axis falls back to the id-class
    * heuristic, which is only meaningful when ids actually carry class
-   * prefixes. If the heuristic resolves every endpoint to ONE class (opaque
-   * production ids — e.g. uniform UUIDs), the ratio would read 0 and
-   * false-fail the gate, so `cross_group_ratio` then reports its value with
-   * `pass = null`: "not evaluable without a groups table", never a fake
-   * verdict (VERDICT r04 wrong #2).
+   * prefixes. If the id space resolves to ONE class (opaque production ids
+   * — e.g. uniform UUIDs), the ratio would read 0 and false-fail the gate,
+   * so `cross_group_ratio` then reports its value with `pass = null`: "not
+   * evaluable without a groups table", never a fake verdict (VERDICT r04
+   * wrong #2).
+   *
+   * `corpusIds` (optional, heuristic mode only): a (conv_id) column of the
+   * WHOLE corpus. The degeneracy probe must distinguish two situations the
+   * tiered pairs alone cannot: (a) the id space itself is opaque — abstain;
+   * (b) ids DO carry classes but every detection collapsed into one class —
+   * exactly the pathology the 0.40 threshold guards, which must FAIL, not
+   * abstain. With `corpusIds` the probe reads the corpus id space; without
+   * it the probe can only see the pairs' endpoints and conservatively
+   * abstains when those collapse (a collapsed-detection run on a classful
+   * corpus then reads `pass = null` instead of false — pass the corpus ids
+   * to close that gap).
    */
-  def evaluate(tiered: DataFrame, groups: Option[DataFrame] = None): DataFrame = {
+  def evaluate(tiered: DataFrame, groups: Option[DataFrame] = None,
+               corpusIds: Option[DataFrame] = None): DataFrame = {
+    // corpus-probed class count (tiny: distinct letter-prefixes); only
+    // relevant in heuristic mode
+    val corpusClasses: Option[Long] =
+      if (groups.isEmpty)
+        corpusIds.map(_.select(idClass(col("conv_id")).as("cls"))
+          .distinct().count())
+      else None
     val withGrp = groups match {
       case Some(g) =>
         val g1 = g.select(col("conv_id"), col("group_id")).dropDuplicates("conv_id")
@@ -97,12 +116,18 @@ object PolicyGates {
     val anchorPrec =
       when(col("anchors") === 0, 1.0)
         .otherwise(col("anchors_a").cast("double") / col("anchors"))
-    // groups-table mode: always evaluable; heuristic mode: evaluable only
-    // when ≥2 id classes exist (when-without-otherwise yields null)
+    // groups-table mode: always evaluable; heuristic mode: evaluable when
+    // the ID SPACE has ≥2 classes — corpus-probed when corpusIds is given
+    // (so collapsed detections on a classful corpus FAIL rather than
+    // abstain), endpoint-probed otherwise (when-without-otherwise → null)
+    val evaluable: Column = corpusClasses match {
+      case _ if groups.isDefined => lit(true)
+      case Some(nc)              => lit(nc >= 2)
+      case None                  => col("n_classes") >= 2
+    }
     gate("fp_rate", col("fp_rate"), 0.35, col("fp_rate") <= 0.35, col("n"))
       .unionByName(gate("cross_group_ratio", col("cross_ratio"), 0.40,
-        when(lit(groups.isDefined) || col("n_classes") >= 2,
-          col("cross_ratio") >= 0.40), col("n")))
+        when(evaluable, col("cross_ratio") >= 0.40), col("n")))
       .unionByName(gate("tier_a_share", col("tier_a"), 0.05,
         col("tier_a") >= 0.05, col("n")))
       .unionByName(gate("anchor_precision", anchorPrec, 0.90,

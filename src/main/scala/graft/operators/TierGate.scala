@@ -36,20 +36,38 @@ import graft.model.{DedupConfig, TieredPair, TypeGates, VerifiedPair}
  */
 object TierGate {
 
-  /** Attach clip_z_analog via two per-endpoint window aggregations. */
+  /** Per-endpoint (mu, sigma) of minhash_est over every incident pair —
+    * the ONE stats definition both the fused attachAttrs pass and the
+    * separate withZScore baseline build on (sharing it is what keeps the
+    * TierWall fused-vs-separate comparison honest: same semantics by
+    * construction, different join plans). Endpoint stats must see the edge
+    * from BOTH sides: explode to (endpoint, score) and aggregate. */
+  private def endpointStats(pairs: Dataset[VerifiedPair]): DataFrame = {
+    val edges = pairs.select(col("conv_a").as("ep"), col("minhash_est").as("s"))
+      .unionAll(pairs.select(col("conv_b").as("ep"), col("minhash_est").as("s")))
+    edges.groupBy(col("ep")).agg(
+      avg(col("s")).as("mu"), stddev_pop(col("s")).as("sigma"))
+  }
+
+  /** z of minhash_est against one endpoint's (mu_<side>, sigma_<side>);
+    * degenerate sigma (single/uniform neighborhood) → 10.0 = no veto. */
+  private def zExpr(side: String): Column =
+    when(col(s"sigma_$side") > 1e-9,
+      (col("minhash_est") - col(s"mu_$side")) / col(s"sigma_$side"))
+      .otherwise(lit(10.0))
+
+  /** T2 routing from the joined endpoint classes ct_a/ct_b: the shared
+    * class when both agree, "default" when either is missing, "cross"
+    * otherwise. */
+  private val pairTypeExpr: Column =
+    when(col("ct_a").isNull || col("ct_b").isNull, "default")
+      .when(col("ct_a") === col("ct_b"), col("ct_a"))
+      .otherwise("cross")
+
+  /** Attach clip_z_analog via the separate two-join pass (TierWall's
+    * baseline; Pipeline runs the fused attachAttrs). */
   def withZScore(pairs: Dataset[VerifiedPair]): DataFrame = {
-    // endpoint stats must see the edge from BOTH sides: explode to
-    // (endpoint, score) and aggregate, then join back per side.
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val edges = pairs.select($"conv_a".as("ep"), $"minhash_est".as("s"))
-      .unionAll(pairs.select($"conv_b".as("ep"), $"minhash_est".as("s")))
-    val stats = edges.groupBy($"ep").agg(
-      avg($"s").as("mu"), stddev_pop($"s").as("sigma"))
-    def z(side: String) =
-      when(col(s"sigma_$side") > 1e-9,
-        (col("minhash_est") - col(s"mu_$side")) / col(s"sigma_$side"))
-        .otherwise(lit(10.0)) // degenerate: single/uniform neighborhood → no veto
+    val stats = endpointStats(pairs)
     // SHUFFLE_HASH on the stats side: Catalyst cannot see that the final
     // aggregate is small (the partial-agg exchange bytes overstate it, so
     // AQE never broadcast-converts), and the default sort-merge join SORTS
@@ -60,11 +78,11 @@ object TierGate {
     // the pair table streams unsorted, same discipline as the candidate
     // scoring and verify payload joins.
     pairs.toDF()
-      .join(stats.select($"ep".as("conv_a"), $"mu".as("mu_a"), $"sigma".as("sigma_a"))
+      .join(stats.select(col("ep").as("conv_a"), col("mu").as("mu_a"), col("sigma").as("sigma_a"))
         .hint("shuffle_hash"), Seq("conv_a"), "left")
-      .join(stats.select($"ep".as("conv_b"), $"mu".as("mu_b"), $"sigma".as("sigma_b"))
+      .join(stats.select(col("ep").as("conv_b"), col("mu").as("mu_b"), col("sigma").as("sigma_b"))
         .hint("shuffle_hash"), Seq("conv_b"), "left")
-      .withColumn("clip_z_analog", least(z("a"), z("b")))
+      .withColumn("clip_z_analog", least(zExpr("a"), zExpr("b")))
       .drop("mu_a", "sigma_a", "mu_b", "sigma_b")
   }
 
@@ -77,10 +95,7 @@ object TierGate {
         pairsWithZ
           .join(ct.select(col("conv_id").as("conv_a"), col("content_type").as("ct_a")), Seq("conv_a"), "left")
           .join(ct.select(col("conv_id").as("conv_b"), col("content_type").as("ct_b")), Seq("conv_b"), "left")
-          .withColumn("pair_type",
-            when(col("ct_a").isNull || col("ct_b").isNull, "default")
-              .when(col("ct_a") === col("ct_b"), col("ct_a"))
-              .otherwise("cross"))
+          .withColumn("pair_type", pairTypeExpr)
           .drop("ct_a", "ct_b")
       case None => pairsWithZ.withColumn("pair_type", lit("default"))
     }
@@ -194,19 +209,12 @@ object TierGate {
                           profiles: Option[DataFrame]): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select($"conv_a".as("ep"), $"minhash_est".as("s"))
-      .unionAll(pairs.select($"conv_b".as("ep"), $"minhash_est".as("s")))
-    val stats = edges.groupBy($"ep").agg(
-      avg($"s").as("mu"), stddev_pop($"s").as("sigma"))
+    val stats = endpointStats(pairs)
     val attrs = profiles match {
       case Some(p) => stats.join(
         p.select($"conv_id".as("ep"), $"content_type".as("ct")), Seq("ep"), "left")
       case None => stats.withColumn("ct", lit(null).cast("string"))
     }
-    def z(side: String) =
-      when(col(s"sigma_$side") > 1e-9,
-        (col("minhash_est") - col(s"mu_$side")) / col(s"sigma_$side"))
-        .otherwise(lit(10.0))
     pairs.toDF()
       .join(attrs.select($"ep".as("conv_a"), $"mu".as("mu_a"),
           $"sigma".as("sigma_a"), $"ct".as("ct_a"))
@@ -214,11 +222,8 @@ object TierGate {
       .join(attrs.select($"ep".as("conv_b"), $"mu".as("mu_b"),
           $"sigma".as("sigma_b"), $"ct".as("ct_b"))
         .hint("shuffle_hash"), Seq("conv_b"), "left")
-      .withColumn("clip_z_analog", least(z("a"), z("b")))
-      .withColumn("pair_type",
-        when(col("ct_a").isNull || col("ct_b").isNull, "default")
-          .when(col("ct_a") === col("ct_b"), col("ct_a"))
-          .otherwise("cross"))
+      .withColumn("clip_z_analog", least(zExpr("a"), zExpr("b")))
+      .withColumn("pair_type", pairTypeExpr)
       .drop("mu_a", "sigma_a", "mu_b", "sigma_b", "ct_a", "ct_b")
   }
 

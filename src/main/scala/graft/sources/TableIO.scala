@@ -109,15 +109,23 @@ final class IcebergCatalogProvider(catalog: String, namespace: String) extends T
     if (exists(df.sparkSession, table)) df.writeTo(fqn(table)).append()
     else df.writeTo(fqn(table)).using("iceberg").create()
 
+  // NB on appendPartitioned to a PRE-EXISTING table: DataFrameWriterV2 can
+  // only declare a partition spec at CREATE time, so an existing table
+  // keeps whatever layout it was created with (an unpartitioned table
+  // appended to with a cols list stays unpartitioned — degraded pruning,
+  // same semantics; re-create via writePartitioned/compaction to migrate).
+  // An empty cols list degrades to a plain append/create, matching the
+  // parquet provider.
   override def appendPartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit =
-    if (exists(df.sparkSession, table)) df.writeTo(fqn(table)).append()
+    if (exists(df.sparkSession, table) || cols.isEmpty) append(df, table)
     else df.writeTo(fqn(table)).using("iceberg")
       .partitionedBy(org.apache.spark.sql.functions.col(cols.head),
         cols.tail.map(org.apache.spark.sql.functions.col): _*)
       .create()
 
   override def writePartitioned(df: DataFrame, table: String, cols: Seq[String]): Unit =
-    df.writeTo(fqn(table)).using("iceberg")
+    if (cols.isEmpty) write(df, table)
+    else df.writeTo(fqn(table)).using("iceberg")
       .partitionedBy(org.apache.spark.sql.functions.col(cols.head),
         cols.tail.map(org.apache.spark.sql.functions.col): _*)
       .createOrReplace()

@@ -46,15 +46,21 @@ object StreamingDedup {
                              last_ts: Timestamp, finalized: Boolean)
 
   /** Batch-parity masking: signature text sees the tool NAME, not the
-    * payload body (Reassembly.assemble default). */
-  private def sigText(t: Turn): String =
-    if (t.role == "tool") s"[tool:${Option(t.tool).getOrElse("?")}]" else t.text
+    * payload body, iff cfg.maskToolPayloads — the SAME knob
+    * Reassembly.assemble honors in the batch pipeline (masking it
+    * unconditionally here would silently break the documented bit-equal
+    * streaming/batch fingerprint parity for every tool-bearing
+    * conversation whenever a user runs both with the knob off). */
+  private def sigText(mask: Boolean)(t: Turn): String =
+    if (mask && t.role == "tool") s"[tool:${Option(t.tool).getOrElse("?")}]"
+    else t.text
 
   private def fold(cfg: DedupConfig): (ConvState, Turn) => ConvState = {
     val k = cfg.shingleK
     val (pa, pb) = Hashing.minhashParams(cfg.numPerms, cfg.minhashSeed)
+    val sigOf = sigText(cfg.maskToolPayloads) _
     (st: ConvState, t: Turn) => {
-    val th = TextKernel.tokenHashesFromNorm(TextKernel.normalize(sigText(t)))
+    val th = TextKernel.tokenHashesFromNorm(TextKernel.normalize(sigOf(t)))
     val votes = st.simhashVotes.clone()
     th.foreach { h =>
       var b = 0

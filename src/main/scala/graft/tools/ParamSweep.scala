@@ -37,8 +37,14 @@ object ParamSweep {
     import spark.implicits._
     val res = Pipeline.runPipelined(turns, cfg, runId = s"sweep_$name")
     val tiered = res.tiered.toDF()
-    val gates = PolicyGates.evaluate(tiered).collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(3)))).toMap
+    // corpusIds gives the degeneracy probe the whole id space, so a preset
+    // whose detections collapse into one id class FAILS cross_group_ratio
+    // instead of abstaining; the null-safe read survives an abstention all
+    // the same (pass = null counts as not-passed, never an NPE)
+    val gates = PolicyGates.evaluate(tiered,
+        corpusIds = Some(turns.toDF().select(col("conv_id")))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), !r.isNullAt(3) && r.getBoolean(3)))).toMap
     val nPairs = tiered.count()
     val recall = gt.map { g =>
       val planted = g.filter(_.should_detect).select($"conv_a", $"conv_b")

@@ -78,6 +78,33 @@ class PolicyGatesSpec extends SparkSpec {
       "groups-table mode must always produce a verdict")
   }
 
+  test("corpus-probed degeneracy: collapsed detections on a classful corpus FAIL, opaque corpus abstains") {
+    import spark.implicits._
+    // detections all within one id class (the collapse the 0.40 threshold
+    // guards against) — pairs-endpoint probing alone cannot distinguish
+    // this from opaque ids and would abstain
+    val collapsed = Seq(
+      ("c00000001", "c00000002", 0.9, 1, 400, 0.8, "A"),
+      ("c00000003", "c00000004", 0.8, 2, 300, 0.6, "A"))
+      .toDF("conv_a", "conv_b", "jaccard", "simhash_dist",
+        "max_span_len", "span_frac", "tier")
+    // corpus ids DO carry classes (c*/d*/hn*): the gate must FAIL (ratio 0)
+    val classful = Seq("c00000001", "c00000002", "c00000003", "c00000004",
+      "d0_exact", "hn1_a").toDF("conv_id")
+    val failed = PolicyGates.evaluate(collapsed, corpusIds = Some(classful))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cf = failed("cross_group_ratio")
+    assert(!cf.isNullAt(3) && !cf.getBoolean(3),
+      s"collapsed detections on a classful corpus must FAIL, got ${cf.get(3)}")
+    // same detections but the whole corpus id space is one class: abstain
+    val opaque = Seq("c00000001", "c00000002", "c00000003", "c00000004")
+      .toDF("conv_id")
+    val abstained = PolicyGates.evaluate(collapsed, corpusIds = Some(opaque))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(abstained("cross_group_ratio").isNullAt(3),
+      "an opaque corpus id space must abstain")
+  }
+
   test("empty input yields defined gates, anchor precision defaults pass, cross abstains") {
     val empty = fixture.limit(0)
     val out = PolicyGates.evaluate(empty).collect()

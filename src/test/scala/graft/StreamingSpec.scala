@@ -102,6 +102,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming honors maskToolPayloads=false with batch parity (the knob reaches the fold)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.DedupConfig
+    def ts(i: Int) = new Timestamp(1700000000000L + i * 1000L)
+    val body = (0 until 25).map(i => graft.sources.ConversationGen.word(i * 17 % 700)).mkString(" ")
+    val turns = Seq(
+      Turn("cm", 0, "user", "alpha beta gamma delta epsilon", null, ts(0)),
+      Turn("cm", 1, "tool", body, "tool_9", ts(1)),
+      Turn("cm", 2, "assistant", "zeta eta theta iota kappa", null, ts(2)))
+    val cfgOff = DedupConfig.balanced.copy(maskToolPayloads = false)
+    val batchOff = operators.Signatures.compute(
+        operators.Reassembly.assemble(spark.createDataset(turns),
+          maskToolPayloads = false), cfgOff)
+      .collect().head
+    val batchOn = operators.Signatures.compute(
+        operators.Reassembly.assemble(spark.createDataset(turns)),
+        DedupConfig.balanced).collect().head
+    val input = MemoryStream[Turn]
+    val q = StreamingDedup.incrementalFingerprints(input.toDS(), cfg = cfgOff)
+      .writeStream.format("memory").queryName("fp_mask")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(turns: _*); q.processAllAvailable()
+      val fp = spark.sql("select * from fp_mask")
+        .as[StreamingDedup.ConvFingerprint].collect()
+        .filter(f => f.conv_id == "cm" && f.n_turns == 3).head
+      assert(fp.minhash.sameElements(batchOff.minhash),
+        "mask-off streaming minhash must be bit-equal to the mask-off batch kernel")
+      assert(fp.simhash == batchOff.simhash)
+      // and the knob is load-bearing: the unmasked signature differs from
+      // the masked one for a payload-bearing conversation
+      assert(!fp.minhash.sameElements(batchOn.minhash),
+        "mask-off must actually see the tool payload")
+    } finally q.stop()
+  }
+
   test("a dup arriving in a later micro-batch pairs against the earlier corpus (LSH handoff)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
