@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotArr, Hamming64, JaccardSortedExpr, MinHashSig, MinhashEstExpr, SimHash64}
+import graft.functions.{DotArr, Hamming64, HyperplaneSig, JaccardSortedExpr, MinHashSig, MinhashEst32Expr, MinhashEst8Expr, MinhashEstExpr, PackLowBytes, SimHash64}
 
 /**
  * SparkSessionExtensions entry point — the cluster-deploy path for the
@@ -37,5 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_est"),
       info("minhash_est", "minhash_est(a, b) - fraction of agreeing MinHash positions"),
       (es: Seq[Expression]) => MinhashEstExpr(es(0), es(1))))
+    // full parity with GraftFunctions.register — the cluster path must
+    // resolve every function the per-session path does, including the
+    // newer b-bit minwise and sign-LSH kernels
+    ext.injectFunction((FunctionIdentifier("minhash_est32"),
+      info("minhash_est32", "minhash_est32(a, b) - b-bit minwise estimate over 32-bit-truncated signatures"),
+      (es: Seq[Expression]) => MinhashEst32Expr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("pack_low_bytes"),
+      info("pack_low_bytes", "pack_low_bytes(array<long>) - low byte of each component as packed binary"),
+      (es: Seq[Expression]) => PackLowBytes(es.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_est8"),
+      info("minhash_est8", "minhash_est8(a, b) - debiased 8-bit b-bit minwise estimate over packed signatures"),
+      (es: Seq[Expression]) => MinhashEst8Expr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("hyperplane_sig"),
+      info("hyperplane_sig", "hyperplane_sig(embedding) - sign-random-hyperplane LSH bucket (8 planes, seed 7)"),
+      (es: Seq[Expression]) => HyperplaneSig(es.head, 8, 7L)))
   }
 }

@@ -32,10 +32,16 @@ object SparkEntry {
   private val ShingleDfCap = 64
 
   // ---- memoized dedup pipeline per (session, sf dir) ---------------------
+  // Keyed by the SESSION OBJECT itself (reference equality), not
+  // System.identityHashCode: identity hashes are not unique, and after a
+  // memoized session is released a colliding new session could otherwise
+  // be served another session's cached Result (Datasets bound to foreign
+  // sessionState). The key pins the session no more than the cached
+  // Datasets already do; application-end eviction clears both.
   private val pipeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Pipeline.Result]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Pipeline.Result]()
   private val corpusCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[graft.model.Turn]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), org.apache.spark.sql.Dataset[graft.model.Turn]]()
 
   // Memo lifetime = the SparkContext's: when the application ends, every
   // cached block and checkpoint RDD dies with the context, so the map
@@ -52,7 +58,7 @@ object SparkEntry {
   private[graft] def memoSize: Int =
     pipeCache.size + corpusCache.size + jacCache.size
   @volatile private var hookedAppId: String = null
-  private def memoKey(spark: SparkSession, sfDir: String): String = {
+  private def memoKey(spark: SparkSession, sfDir: String): (SparkSession, String) = {
     val appId = spark.sparkContext.applicationId
     if (hookedAppId != appId) synchronized {
       if (hookedAppId != appId) {
@@ -60,7 +66,7 @@ object SparkEntry {
         hookedAppId = appId
       }
     }
-    System.identityHashCode(spark) + "|" + sfDir
+    (spark, sfDir)
   }
 
   /** Synthetic transcript corpus, generated once per (session, sf dir) and
@@ -88,7 +94,7 @@ object SparkEntry {
     * tiny; what's cached is the expensive join's output), distinct from
     * the per-invocation intermediates mutual_nn releases after use. */
   private val jacCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def jaccardPairsFor(spark: SparkSession, sfDir: String): DataFrame =
     jacCache.computeIfAbsent(memoKey(spark, sfDir),
       _ => ngramJaccard(spark, sfDir).localCheckpoint(true))
@@ -1356,7 +1362,7 @@ object SparkEntry {
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio'
                 ELSE 'video' END AS modality,
-           len(text)::BIGINT AS n_bytes,
+           strlen(text)::BIGINT AS n_bytes,
            md5(text) AS payload_md5
          FROM documents""",
     "multimodal_frames" ->
@@ -1418,9 +1424,11 @@ object SparkEntry {
          s AS (
            SELECT user_id AS u2, median(adev) AS mad FROM d GROUP BY 1)
          SELECT event_id, user_id,
-           round(adev / (1.4826 * mad), 4) AS robust_z
+           round(CASE WHEN mad > 1e-9 THEN adev / (1.4826 * mad)
+                      WHEN adev > 1e-9 THEN 9999.0 ELSE 0.0 END, 4) AS robust_z
          FROM d JOIN s ON user_id = u2
-         WHERE mad > 1e-9 AND adev / (1.4826 * mad) > 3.5""",
+         WHERE CASE WHEN mad > 1e-9 THEN adev / (1.4826 * mad)
+                    WHEN adev > 1e-9 THEN 9999.0 ELSE 0.0 END > 3.5""",
     // The stub decode's per-element feature output is dumped as a surface
     // (media_features); the oracle replays everything around it in SQL:
     // the modality routing (doc_id mod 3), the payload checksum (md5 of
@@ -1454,9 +1462,13 @@ object SparkEntry {
            SELECT k, med, mad
            FROM read_parquet('{GRAFT_OUT}/mad_approx_stats/*.parquet'))
          SELECT event_id, user_id,
-           round(abs(value - med) / (1.4826 * mad), 4) AS robust_z
+           round(CASE WHEN mad > 1e-9 THEN abs(value - med) / (1.4826 * mad)
+                      WHEN abs(value - med) > 1e-9 THEN 9999.0
+                      ELSE 0.0 END, 4) AS robust_z
          FROM events JOIN s ON user_id = k
-         WHERE mad > 1e-9 AND abs(value - med) / (1.4826 * mad) > 3.5""",
+         WHERE CASE WHEN mad > 1e-9 THEN abs(value - med) / (1.4826 * mad)
+                    WHEN abs(value - med) > 1e-9 THEN 9999.0
+                    ELSE 0.0 END > 3.5""",
     "q_sessionize" ->
       """WITH l AS (
            SELECT user_id, ts,

@@ -69,8 +69,12 @@ object Verify {
     // positional shingle-hash surfaces: let intra_repeated_spans be
     // DuckDB-oracled as a SQL replay of the repeat counting + interval-
     // union coverage (gaps-and-islands)
+    // localCheckpoint: both dumped surfaces (and their downstream replay)
+    // project this one reassembly plan — eager-checkpoint it so the
+    // conv_id shuffle + array_sort assembly runs once, not per table
     graft.operators.IntraDup.shingleSurface(
-        graft.operators.Reassembly.assemble(SparkEntry.corpusFor(spark, sfDir)))
+        graft.operators.Reassembly.assemble(SparkEntry.corpusFor(spark, sfDir))
+          .localCheckpoint(true))
       .foreach { case (name, df) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }

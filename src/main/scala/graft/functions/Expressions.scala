@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graft.Bridge.ADT
 
 /**
  * Custom Catalyst expressions for the signature kernel (SURVEY.md §2.11,
@@ -114,7 +115,8 @@ object Expr0 {
 
 /** simhash64(text): 64-bit SimHash of normalized token frequencies (X2 analog). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = Expr0.simhash(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -125,7 +127,8 @@ case class SimHash64(child: Expression)
 
 /** minhash_sig(text): MinHash signature array under the fixed engine config. */
 case class MinHashSig(child: Expression, shingleK: Int, numPerms: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     Expr0.minhashSig(v.asInstanceOf[UTF8String], shingleK, numPerms, seed)
@@ -138,7 +141,8 @@ case class MinHashSig(child: Expression, shingleK: Int, numPerms: Int, seed: Lon
 
 /** hamming64(a, b): popcount(a XOR b) — X5 analog, pure codegen arithmetic. */
 case class Hamming64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(LongType, LongType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
@@ -151,7 +155,8 @@ case class Hamming64(left: Expression, right: Expression)
 
 /** jaccard_sorted(a, b): exact Jaccard of two sorted distinct long arrays (X8). */
 case class JaccardSortedExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     Expr0.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -167,7 +172,8 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   * inside whole-stage codegen instead of an interpreted
   * aggregate(zip_with(...)) higher-order-function chain. */
 case class DotArr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     Expr0.dotArr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -209,7 +215,8 @@ case class HyperplaneSig(child: Expression, nPlanes: Int, seed: Long)
   * positions — tight JVM loop inside codegen (replaces an interpreted
   * aggregate(zip_with) fallback in the candidate join's hot path). */
 case class MinhashEstExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     Expr0.minhashEst(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -225,7 +232,8 @@ case class MinhashEstExpr(left: Expression, right: Expression)
   * join ship array<int> instead of array<long> per endpoint, halving the
   * dominant shuffle's bytes with a 2⁻³² per-position false-match bound. */
 case class MinhashEst32Expr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     Expr0.minhashEst32(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -242,7 +250,8 @@ case class MinhashEst32Expr(left: Expression, right: Expression)
   * conv_b signature exchange was the candidate stage's attributed byte
   * wall). */
 case class PackLowBytes(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(LongType))
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any =
     Expr0.packLowBytes(v.asInstanceOf[ArrayData])
@@ -256,7 +265,8 @@ case class PackLowBytes(child: Expression)
   * low-byte signatures (TextKernel.minhashEstimate8) — quarter the scoring
   * join's shuffle bytes vs the 32-bit path at O(2⁻⁸) added variance. */
 case class MinhashEst8Expr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextKernel.minhashEstimate8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])

@@ -332,11 +332,16 @@ object TextKernel {
    * keeping Jaccard estimable.
    */
   def bottomK(shingles: Array[Long], k: Int): Array[Long] = {
-    if (shingles.length <= k) return shingles
+    // ALWAYS mixed space, both branches: an early `return shingles` for the
+    // small case would hand back RAW values while the > k case returns
+    // mix64-mapped ones — jaccard between a small doc's sketch and a large
+    // doc's sketch would then compare incompatible hash spaces and read ~0
+    // for true near-dups (the old call sites each re-mixed the small case
+    // externally to compensate; the kernel now honors its own contract).
     val mixed = shingles.map(Hashing.mix64)
     java.util.Arrays.sort(mixed)
-    val kept = java.util.Arrays.copyOfRange(mixed, 0, k)
-    kept // stays in mixed space; jaccard of bottom-k sketches is computed in mixed space on both sides
+    if (mixed.length <= k) mixed
+    else java.util.Arrays.copyOfRange(mixed, 0, k)
   }
 
   /**

@@ -91,11 +91,15 @@ object DocDedup {
   def minhashLshOracleTables(spark: SparkSession,
                              docs: DataFrame): Seq[(String, DataFrame)] = {
     // salt_h is computed over the STRING conv_id — the key the engine's
-    // saltedBucketPairs actually hashes (docSigs casts doc_id to string)
+    // saltedBucketPairs actually hashes (docSigs casts doc_id to string).
+    // localCheckpoint: FOUR dump tables project this one signature plan —
+    // without it Verify re-executes the full shingle+minhash pass per
+    // table (same ADVICE-r04 class as AnnIvf.oracleTables's fix)
     val sigs = docSigs(spark, docs).select(
-      col("conv_id").cast("long").as("doc_id"),
-      xxhash64(col("conv_id")).as("salt_h"),
-      col("minhash"), col("bands"), col("simhash_bundle"))
+        col("conv_id").cast("long").as("doc_id"),
+        xxhash64(col("conv_id")).as("salt_h"),
+        col("minhash"), col("bands"), col("simhash_bundle"))
+      .localCheckpoint(true)
     Seq(
       "minhash_doc_bands" -> sigs.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band_id", "band_key"))),

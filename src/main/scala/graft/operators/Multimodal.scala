@@ -30,7 +30,11 @@ object Multimodal {
     docs.select(col("doc_id"),
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("modality"),
-        length(col("text")).cast("int").as("n_bytes"),
+        // octet_length, not length: n_bytes must measure the PAYLOAD (the
+        // UTF-8 byte encoding), not the character count — they diverge on
+        // any non-ASCII text, and n_bytes sizes decode/frame buffers when
+        // the stub decode is swapped for a real codec
+        octet_length(col("text")).cast("int").as("n_bytes"),
         col("text").cast("binary").as("payload"))
       .as[MediaRow]
   }

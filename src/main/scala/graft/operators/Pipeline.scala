@@ -40,11 +40,20 @@ object Pipeline {
 
   /** Deterministic input fingerprint + row count in ONE job: order-
     * independent aggregate of per-row hashes (≙ the reference's MD5 over
-    * (path, mtime, size) of all inputs). */
+    * (path, mtime, size) of all inputs). The hash covers EVERY Turn field
+    * the pipeline's outputs depend on — conv_id, turn_idx, text, role
+    * (masking + convProfile routing), tool (the masked signature token) —
+    * so a role/tool-only data fix invalidates checkpoints like a text
+    * change does; ts is deliberately excluded (no batch stage reads it —
+    * including it would spuriously invalidate on timestamp-only rewrites).
+    * coalesce: bit_xor over ZERO rows is NULL — an empty input must key
+    * deterministically, not NPE (same fix as groupsFingerprint). */
   def fingerprintAndCount(turns: Dataset[Turn]): (String, Long) = {
     val row = turns
-      .select(xxhash64(col("conv_id"), col("turn_idx"), col("text")).as("h"))
-      .agg(bit_xor(col("h")).as("s"), count(lit(1)).as("n")) // xor: order-independent, ANSI-overflow-safe
+      .select(xxhash64(col("conv_id"), col("turn_idx"), col("text"),
+        col("role"), col("tool")).as("h"))
+      .agg(coalesce(bit_xor(col("h")), lit(0L)).as("s"),
+        count(lit(1)).as("n")) // xor: order-independent, ANSI-overflow-safe
       .head()
     (f"${row.getLong(0)}%016x_${row.getLong(1)}", row.getLong(1))
   }

@@ -54,10 +54,18 @@ object RobustStats {
                   exact: Boolean = true,
                   accuracy: Int = 10000): DataFrame = {
     val st = stats(events, keyCol, valCol, exact, accuracy)
+    // MAD = 0 happens whenever >50% of a key's values are identical — a
+    // very common per-user shape — and the old filter(mad > 1e-9) granted
+    // exactly those groups blanket immunity: [5,5,5,5,5,1e9] reported NO
+    // outlier. Any deviation from the median of a zero-MAD group is
+    // infinitely many MADs out, so flag it with a sentinel z (9999.0 — a
+    // finite value keeps the driver's float-exact oracle compare trivially
+    // portable) instead of dropping the group.
     events.join(st, events(keyCol) === col("k"))
       .withColumn("adev", abs(col(valCol) - col("med")))
-      .filter(col("mad") > 1e-9)
-      .withColumn("robust_z", col("adev") / (lit(1.4826) * col("mad")))
+      .withColumn("robust_z",
+        when(col("mad") > 1e-9, col("adev") / (lit(1.4826) * col("mad")))
+          .otherwise(when(col("adev") > 1e-9, lit(9999.0)).otherwise(lit(0.0))))
       .filter(col("robust_z") > zThreshold)
       .select(col(idCol), col(keyCol), round(col("robust_z"), 4).as("robust_z"))
   }

@@ -28,6 +28,13 @@ object Signatures {
     import spark.implicits._
     val k = cfg.shingleK; val nPerms = cfg.numPerms
     val bands = cfg.bands; val rows = cfg.rows
+    // fail at plan time with a clear message, not with an executor-side
+    // ArrayIndexOutOfBounds inside mapPartitions: band b reads signature
+    // positions [b*rows, (b+1)*rows) (the streaming path guards the same
+    // invariant in bandRows)
+    require(bands * rows <= nPerms,
+      s"bands*rows = $bands*$rows = ${bands * rows} exceeds numPerms " +
+        s"$nPerms — LSH band keys index signature positions up to bands*rows")
     val seed = cfg.minhashSeed
     val sketchK = cfg.sketchK; val nBlocks = cfg.numBlocks
     val blockK = cfg.blockSketchK; val headChars = cfg.headChars
@@ -72,14 +79,8 @@ object Signatures {
           TextKernel.simhashFromVotes(vHead),
           TextKernel.simhashFromVotes(vTail),
           TextKernel.simhash64FromHashes(TextKernel.sortedDistinct(th)))
-        val sketch = {
-          val s = TextKernel.bottomK(shingles, sketchK)
-          // bottomK of a full set returns raw (unmixed) shingles when small;
-          // normalize both cases into mixed space so jaccard compares equal spaces
-          if (shingles.length <= sketchK) {
-            val m = shingles.map(Hashing.mix64); java.util.Arrays.sort(m); m
-          } else s
-        }
+        // bottomK returns mixed+sorted values in BOTH size regimes
+        val sketch = TextKernel.bottomK(shingles, sketchK)
         // per-block sketches: nBlocks equal token slices (patch grid analog)
         val blockSk = new Array[Array[Long]](nBlocks)
         var bi = 0
@@ -89,10 +90,7 @@ object Signatures {
           val bt = if (hi > lo) java.util.Arrays.copyOfRange(th, lo, hi)
                    else Array.empty[Long]
           val bs = TextKernel.shingleSetFromHashes(bt, k)
-          val capped =
-            if (bs.length <= blockK) { val m = bs.map(Hashing.mix64); java.util.Arrays.sort(m); m }
-            else TextKernel.bottomK(bs, blockK)
-          blockSk(bi) = capped
+          blockSk(bi) = TextKernel.bottomK(bs, blockK)
           bi += 1
         }
         val head = if (lines.length <= headChars) lines else lines.substring(0, headChars)

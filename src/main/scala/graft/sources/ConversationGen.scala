@@ -186,8 +186,12 @@ object ConversationGen {
         f"c$srcIdx%08d", s"d${s}_$tr", s"transform_$tr", should_detect = true, tr)
     }
     val negs = (0 until spec.nHardNegPairs).map { i =>
-      // two fresh same-family conversations with boosted boilerplate
-      GtPair(100000L + i, "hard_negative", s"hn${i}_a", s"hn${i}_b",
+      // two fresh same-family conversations with boosted boilerplate.
+      // NEGATIVE pair ids: dup pairs use s*100 + ti, so any fixed positive
+      // base (the old 100000 + i) collides with them once nDupSources
+      // reaches base/100 — contradictory should_detect labels under one
+      // pair_id in a generator built for scale sweeps
+      GtPair(-(1L + i), "hard_negative", s"hn${i}_a", s"hn${i}_b",
         "hard_negative", should_detect = false, "hard_negative")
     }
     dups ++ negs

@@ -20,6 +20,11 @@ object PipeMedian {
       println(f"[med] cpus=$cpus run$i sec=$s%.1f " +
         r.metrics.filter(_.duration_ms >= 0)
           .map(m => f"${m.stage}=${m.duration_ms / 1000.0}%.1f").mkString(" "))
+      // cache hygiene between samples (Bench/PipeOnce do the same): each
+      // run's localCheckpointed stage blocks would otherwise stay pinned
+      // and spill/evict DURING the later timed runs
+      Seq(r.sigs, r.candidates, r.verified, r.tiered, r.clusters)
+        .foreach(_.unpersist())
     }
     spark.stop()
   }

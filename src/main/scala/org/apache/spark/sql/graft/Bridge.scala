@@ -15,6 +15,12 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** AbstractDataType is `private[sql]` in Spark 4, so an expression
+    * outside the sql package cannot NAME it in an `inputTypes` override —
+    * this public alias (legal here, inside the sql package tree) lets
+    * graft.functions declare ExpectsInputTypes contracts. */
+  type ADT = org.apache.spark.sql.types.AbstractDataType
+
   /** Apply a SparkSessionExtensions' injected functions to a session's
     * registry (`registerFunctions` is private[sql]; this is the hook the
     * session builder itself uses for spark.sql.extensions). */

@@ -34,4 +34,21 @@ class RobustStatsSpec extends SparkSpec {
     assert(exIds == apIds,
       s"engines disagree: only-exact=${exIds -- apIds}, only-approx=${apIds -- exIds}")
   }
+
+  test("a zero-MAD group still flags its deviant (no blanket immunity)") {
+    import spark.implicits._
+    // >50% identical values → median = 5, MAD = 0; the 1e9 event is
+    // blatantly an outlier and the old filter(mad > 1e-9) silently dropped
+    // the whole group. The constant-valued group (u2) must stay silent.
+    val events = Seq(
+      (1L, "u1", 5.0), (2L, "u1", 5.0), (3L, "u1", 5.0),
+      (4L, "u1", 5.0), (5L, "u1", 5.0), (6L, "u1", 1e9),
+      (10L, "u2", 7.0), (11L, "u2", 7.0), (12L, "u2", 7.0))
+      .toDF("event_id", "user_id", "value")
+    val out = RobustStats.madOutliers(events, exact = true)
+      .select($"event_id", $"robust_z").as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(6L),
+      s"expected exactly the 1e9 spike flagged, got ${out.keySet}")
+    assert(out(6L) == 9999.0)
+  }
 }
