@@ -48,5 +48,15 @@ class AbTestSpec extends SparkSpec {
     val hn = rep.find(_.getString(0) == "hard_negative").get
     assert(hn.getDouble(hn.fieldIndex("detect_a")) <= 0.1)
     assert(hn.getDouble(hn.fieldIndex("detect_b")) <= 0.1)
+    // the knob must be LOAD-BEARING: arm B (mask off) sees tool payload
+    // bodies arm A masks away, so SOME category's evidence must shift —
+    // if every delta is zero, cfgB never reached the second arm and the
+    // harness is comparing a config against itself
+    assert(rep.exists { r =>
+      r.getDouble(r.fieldIndex("delta_detect")) != 0.0 ||
+        r.getDouble(r.fieldIndex("delta_jaccard")) != 0.0 ||
+        r.getDouble(r.fieldIndex("delta_est")) != 0.0
+    }, s"mask-off arm identical to masked arm across every category:\n" +
+      rep.map(_.toString).mkString("\n"))
   }
 }

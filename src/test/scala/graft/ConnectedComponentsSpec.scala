@@ -48,13 +48,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     // iterative loop).
     val star = (1 until 300).map(i => ("v000", f"v$i%03d"))
     val scattered = edgesDf(star).repartition(50)
+    val stats = new ConnectedComponents.CcStats
     val viaMerge = ConnectedComponents
-      .cluster(scattered, driverLocalMaxEdges = 320)
+      .cluster(scattered, driverLocalMaxEdges = 320, stats = stats)
       .collect().map(c => (c.conv_id, c.cluster_id, c.cluster_size)).toSet
     val local = ConnectedComponents.cluster(edgesDf(star))
       .collect().map(c => (c.conv_id, c.cluster_id, c.cluster_size)).toSet
     assert(viaMerge == local)
     assert(viaMerge.forall(t => t._2 == "v000" && t._3 == 300L))
+    // and the re-contraction must actually have REACHED the driver-local
+    // path — without this pin, a broken merge round silently falls through
+    // to the distributed loop, which computes the same clusters (the
+    // high-parallelism wall cliff would return undetected)
+    assert(stats.path == "local" && stats.iterations == 0,
+      s"expected driver-local after re-contraction, took ${stats.path}")
   }
 
   test("CcStats records the taken path, forest sizes, and loop iterations") {
@@ -78,12 +85,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     // chain: 82 symmetric edges > cap 60 ≥ 41 forest edges → the partition-
     // local union-find contraction runs, then finishes driver-local
     val chain = (0 until 40).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val stats = new ConnectedComponents.CcStats
     val viaContraction = ConnectedComponents
-      .cluster(edgesDf(chain), driverLocalMaxEdges = 60)
+      .cluster(edgesDf(chain), driverLocalMaxEdges = 60, stats = stats)
       .collect().map(c => (c.conv_id, c.cluster_id, c.cluster_size)).toSet
     val local = ConnectedComponents.cluster(edgesDf(chain))
       .collect().map(c => (c.conv_id, c.cluster_id, c.cluster_size)).toSet
     assert(viaContraction == local)
     assert(viaContraction.forall(t => t._2 == "n000" && t._3 == 41L))
+    assert(stats.path == "local" && stats.iterations == 0,
+      s"expected driver-local after contraction, took ${stats.path}")
   }
 }

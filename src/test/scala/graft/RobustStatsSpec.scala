@@ -28,9 +28,12 @@ class RobustStatsSpec extends SparkSpec {
       .select($"event_id").as[Long].collect().toSet
     val apIds = RobustStats.madOutliers(events, exact = false)
       .select($"event_id").as[Long].collect().toSet
-    (0 until 50 by 5).foreach { u =>
-      assert(exIds.contains(u.toLong * 1000 + 200), s"planted spike for u$u missed")
-    }
+    // EXACT flag set, not containment: the planted spikes and NOTHING else
+    // — cross-engine agreement alone would stay green if a loosened gate
+    // flooded false positives identically through both engines
+    val planted = (0 until 50 by 5).map(_.toLong * 1000 + 200).toSet
+    assert(exIds == planted,
+      s"flag set != planted spikes: extra=${exIds -- planted}, missed=${planted -- exIds}")
     assert(exIds == apIds,
       s"engines disagree: only-exact=${exIds -- apIds}, only-approx=${apIds -- exIds}")
   }

@@ -435,7 +435,19 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData((0 until 20).map(i => turn(s"c$i", 0, "w x y z")): _*)
       q.processAllAvailable()
-      assert(spark.sql("select * from rates").count() > 0)
+      // 20 turns, all role 'user' (turn_idx 0), all at ONE instant → the
+      // tumbling 5-minute window must produce exactly one (window, role)
+      // group with a pinned count — count() > 0 alone would accept any
+      // non-empty wrong grouping, width, or rate
+      val rows = spark.sql("select * from rates").collect()
+      assert(rows.length == 1, s"expected one (window, role) group, got ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getAs[String]("role") == "user")
+      assert(r.getAs[Long]("n_turns") == 20L)
+      assert(r.getAs[Long]("n_convs") == 20L) // 20 distinct ids: HLL sparse-exact
+      val w = r.getStruct(r.fieldIndex("window"))
+      assert(w.getTimestamp(1).getTime - w.getTimestamp(0).getTime == 300000L,
+        s"window width != 5 minutes: $w")
     } finally q.stop()
   }
 }

@@ -121,4 +121,25 @@ class TierGateSpec extends SparkSpec {
     assert(typed("x|z") == "cross")      // endpoints disagree
     assert(typed("x|w") == "default")    // missing profile row
   }
+
+  test("pairScore weighs EVERY signal: isolated deltas in est, jaccard, and distance each order the score") {
+    import spark.implicits._
+    // the smoke-suite monotonicity check compares only the extreme-jaccard
+    // pairs, which jaccard alone orders — these fixtures vary ONE signal at
+    // a time so a dropped term or a flipped weight sign fails loudly
+    val rows = Seq(
+      //  key        est   jac  dist
+      ("base",       0.5,  0.5, 10),
+      ("hi_est",     0.9,  0.5, 10), // + est   → must score above base
+      ("hi_jac",     0.5,  0.9, 10), // + jac   → must score above base
+      ("close_dist", 0.5,  0.5,  2)) // − dist  → must score above base
+      .toDF("pair_key", "minhash_est", "jaccard", "simhash_dist")
+    val s = TierGate.pairScore(rows)
+      .collect().map(r => r.getAs[String]("pair_key") ->
+        r.getAs[Double]("pair_score")).toMap
+    assert(s.values.forall(v => v > 0.0 && v < 1.0), s.toString)
+    assert(s("hi_est") > s("base"), s"est signal dead or inverted: $s")
+    assert(s("hi_jac") > s("base"), s"jaccard signal dead or inverted: $s")
+    assert(s("close_dist") > s("base"), s"distance signal dead or inverted: $s")
+  }
 }
