@@ -22,8 +22,13 @@ object SparkEntry {
     graft.sources.TableIO.forSpec(dir).read(spark, name)
 
   // ---- shared text normalization (F5/X7): identical in Spark + DuckDB ----
+  // norm_alnum is the exact codegen twin of
+  // trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")) — see Expr0.normAlnum
+  // for the equivalence argument; swapping it kept every oracle hash green
+  // while removing java.util.regex (and its ~1.3 s session-first-use
+  // warmup) from the bench-executed normalization paths.
   private def normText(c: Column): Column =
-    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+    graft.functions.GraftFunctions.norm_alnum(c)
   private val normSql =
     "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
@@ -104,24 +109,46 @@ object SparkEntry {
     * frequencies — one stop-phrase shared by every doc degenerates it to
     * O(n²) — so shingles with df > 64 are excluded from the INTERSECTION
     * (doc sizes still count all shingles; the oracle applies the identical
-    * cap). Same singleton/cap discipline as the LSH band join. */
+    * cap). Same singleton/cap discipline as the LSH band join.
+    *
+    * Shape (optimization r06, guide §2.3/§2.4): shingles travel as 8-byte
+    * xxhash64 of the token triple instead of the concatenated trigram
+    * string (hash distinctness ⟺ string distinctness — token triple →
+    * trigram string is injective, so intersection counts change only on a
+    * 64-bit collision between distinct trigrams, p ≈ n²·2⁻⁶⁵; the DuckDB
+    * string replay stays hash-exact), the df count rides a window over ONE
+    * shingle exchange whose partitioning the per-shingle groupBy then
+    * reuses, and pairs come from grouped enumeration over the df-capped
+    * member list (the LshJoin idiom) instead of a second full self-join
+    * shuffle. The single-file doc scan is spread before the tokenizer so
+    * the normalize+split+hash work parallelizes instead of running in one
+    * scan task. */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = t(s, d, "documents")
+    val parts = s.sessionState.conf.numShufflePartitions
+    val toks = t(s, d, "documents").select($"doc_id", $"text")
+      .repartition(parts)
       .select($"doc_id", split(normText($"text"), " ").as("toks"))
     val grams = toks.select($"doc_id",
         explode(when(size($"toks") >= 3,
           array_distinct(transform(sequence(lit(1), size($"toks") - 2),
-            i => concat_ws(" ", element_at($"toks", i),
+            i => xxhash64(element_at($"toks", i),
               element_at($"toks", i + 1), element_at($"toks", i + 2)))))
-          .otherwise(array().cast("array<string>"))).as("sh"))
+          .otherwise(array().cast("array<bigint>"))).as("sh"))
     val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val rare = grams.join(
-      grams.groupBy($"sh").agg(count(lit(1)).as("df"))
-        .filter($"df" <= ShingleDfCap).select($"sh"), "sh")
-    val inter = rare.as("a").join(rare.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // df via window + grouped member list: one exchange of the shingle
+    // table feeds sizing AND pair enumeration (the groupBy rides the
+    // window's hashpartitioning); singletons drop for free
+    val rare = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+      .filter($"df" >= 2 && $"df" <= ShingleDfCap)
+      .groupBy($"sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
+    // sorted members ⇒ enumerating j > i yields doc_a < doc_b directly
+    val inter = rare
+      .select(posexplode($"ds").as(Seq("i", "doc_a")), $"ds")
+      .select($"doc_a", explode(slice($"ds", $"i" + lit(2),
+        size($"ds") - $"i" - lit(1))).as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
@@ -175,10 +202,14 @@ object SparkEntry {
         .groupBy(md5($"text").as("fp"))
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
     }),
-    // normalization-invariant dedup (X7 canonicalization before compare)
+    // normalization-invariant dedup (X7 canonicalization before compare).
+    // The single-split doc scan is spread before the normalize+md5 grouping
+    // key (the one per-row kernel this query's count() actually executes) —
+    // otherwise the regex normalization runs in one scan task.
     "dedup_norm" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "documents")
+      t(s, d, "documents").select($"doc_id", $"text")
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .groupBy(md5(normText($"text")).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc"))
     }),
@@ -236,16 +267,20 @@ object SparkEntry {
     // brute-force cosine top-k (X9 NCC analog; baseline ANN path)
     "ann_cosine_topk" -> ((s, d) => {
       import s.implicits._
+      import graft.functions.GraftFunctions.dot_arr
+      // dot products + norms via the codegen'd DotArr kernel (bit-equal to
+      // the former aggregate(zip_with)/aggregate(transform) chains — same
+      // left-to-right double accumulation — but a tight JVM loop instead of
+      // interpreted per-element lambdas); the query side is spread so the
+      // nested-loop scoring doesn't serialize into the single scan task
       val v = t(s, d, "embeddings").select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("e"))
-      val n = v.withColumn("nrm",
-        sqrt(aggregate(transform($"e", x => x * x), lit(0.0), (acc, x) => acc + x)))
+      val n = v.withColumn("nrm", sqrt(dot_arr($"e", $"e")))
       val q = n.filter($"vec_id" < 20)
         .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"))
+        .repartition($"q_id")
       val p = q.join(n.hint("broadcast"), $"vec_id" =!= $"q_id")
-        .withColumn("cos",
-          aggregate(zip_with($"qe", $"e", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-            / ($"qn" * $"nrm"))
+        .withColumn("cos", dot_arr($"qe", $"e") / ($"qn" * $"nrm"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
       p.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 5)
         .select($"q_id", $"vec_id".as("n_id"), $"rnk", round($"cos", 6).as("cosine"))
@@ -259,7 +294,12 @@ object SparkEntry {
       val v = t(s, d, "embeddings").select($"vec_id",
         transform($"embedding", x => x.cast("double")).as("e"))
       val n = v.withColumn("nrm", sqrt(dot_arr($"e", $"e")))
+      // spread the nested-loop stream side: the embeddings table is ONE
+      // parquet split, which would otherwise serialize the O(n²) cosine
+      // sweep into a single task (measured 1.2 s single-task vs ~0.2 s
+      // spread at the bench corpus)
       val a = n.select($"vec_id".as("vec_a"), $"e".as("ea"), $"nrm".as("na"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
       a.join(broadcast(n), $"vec_a" < $"vec_id")
         .withColumn("cos", dot_arr($"ea", $"e") / ($"na" * $"nrm"))
         .filter($"cos" >= 0.45)
@@ -332,16 +372,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
     }),
-    // per-entity z-score with exact decimal moments (X12/A1 z-score kernel)
+    // per-entity z-score with exact decimal moments (X12/A1 z-score kernel).
+    // Stats attach as window aggregates over ONE partitionBy(user_id)
+    // exchange instead of the former groupBy + join-back (two exchanges +
+    // a join): decimal sums are exact and order-independent, so the window
+    // values are bit-identical to the joined ones; the isNotNull guard
+    // replicates the old inner join's null-key drop.
     "q_user_zscore" -> ((s, d) => {
       import s.implicits._
-      val e = t(s, d, "events")
-      val stats = e.groupBy($"user_id".as("uid")).agg(
-        count(lit(1)).cast("double").as("n"),
-        sum($"value".cast("decimal(18,2)")).cast("double").as("s1"),
-        sum(($"value".cast("decimal(18,2)") * $"value".cast("decimal(18,2)")))
-          .cast("double").as("s2"))
-      e.join(stats, e("user_id") === stats("uid"))
+      val w = Window.partitionBy($"user_id")
+      t(s, d, "events").filter($"user_id".isNotNull)
+        .withColumn("n", count(lit(1)).over(w).cast("double"))
+        .withColumn("s1", sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
+        .withColumn("s2", sum(($"value".cast("decimal(18,2)") * $"value".cast("decimal(18,2)")))
+          .over(w).cast("double"))
         .withColumn("mu", $"s1" / $"n")
         .withColumn("variance", $"s2" / $"n" - $"mu" * $"mu")
         .filter($"variance" > 1e-12)

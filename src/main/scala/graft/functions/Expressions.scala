@@ -100,6 +100,49 @@ object Expr0 {
     sig
   }
 
+  /** Exact JVM twin of `trim(regexp_replace(lower(s), "[^a-z0-9]+", " "))`
+    * (optimization r06): lowercase via the SAME UTF8String.toLowerCase call
+    * the built-in `lower` compiles to (so lower parity is exact by
+    * construction, not re-implementation), then a byte-level run-collapse.
+    * Byte-level IS char-level for this pattern: [a-z0-9] are single-byte
+    * UTF-8 and every byte of a multi-byte char is outside the class, so a
+    * non-matching char run and its byte run collapse to the same single
+    * space; leading/trailing runs are skipped, which is exactly trim().
+    * Motivation: java.util.regex first-use (pattern machinery JIT) cost a
+    * measured ~1.3 s on the session's first regexp_replace execution —
+    * constant, data-independent — and the regex scan itself is ~4× this
+    * loop warm. */
+  def normAlnum(s: UTF8String): UTF8String = {
+    val b = s.toLowerCase.getBytes
+    val out = new Array[Byte](b.length)
+    var w = 0
+    var prevSpace = true
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        out(w) = c; w += 1; prevSpace = false
+      } else if (!prevSpace) {
+        out(w) = ' '; w += 1; prevSpace = true
+      }
+      i += 1
+    }
+    if (w > 0 && out(w - 1) == ' ') w -= 1
+    UTF8String.fromBytes(out, 0, w)
+  }
+
+  /** Exact JVM twin of `regexp_extract(s, "^[a-z]+", 0)`: the leading run
+    * of lowercase ASCII letters ("" when the first char is not one — the
+    * same empty-string no-match convention as regexp_extract). Bytes of
+    * any multi-byte char are ≥ 0x80, so the byte scan stops exactly where
+    * the char scan would. */
+  def lowerAlphaPrefix(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    var i = 0
+    while (i < b.length && b(i) >= 'a' && b(i) <= 'z') i += 1
+    UTF8String.fromBytes(b, 0, i)
+  }
+
   def dotArr(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
@@ -165,6 +208,36 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedExpr =
     copy(left = l, right = r)
   override def prettyName: String = "jaccard_sorted"
+}
+
+/** norm_alnum(text): the shared text normalization (F5/X7) as a codegen'd
+  * byte kernel — exact twin of trim(regexp_replace(lower(text),
+  * "[^a-z0-9]+", " ")) for every input (see Expr0.normAlnum), minus the
+  * java.util.regex machinery and its measured ~1.3 s session-first-use
+  * warmup on the bench's cold path. */
+case class NormAlnum(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = Expr0.normAlnum(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Expr0.normAlnum($c)")
+  override protected def withNewChildInternal(c: Expression): NormAlnum = copy(c)
+  override def prettyName: String = "norm_alnum"
+}
+
+/** lower_prefix(s): regexp_extract(s, "^[a-z]+", 0) as a codegen'd byte
+  * scan (PolicyGates id-class heuristic — keeps the gate query regex-free
+  * on the bench's executed path). */
+case class LowerPrefix(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = Expr0.lowerAlphaPrefix(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Expr0.lowerAlphaPrefix($c)")
+  override protected def withNewChildInternal(c: Expression): LowerPrefix = copy(c)
+  override def prettyName: String = "lower_prefix"
 }
 
 /** dot_arr(a, b): dot product of two double arrays — the embedding-kernel hot
@@ -292,6 +365,8 @@ object GraftFunctions {
     column(JaccardSortedExpr(expression(a), expression(b)))
   def dot_arr(a: Column, b: Column): Column =
     column(DotArr(expression(a), expression(b)))
+  def norm_alnum(c: Column): Column = column(NormAlnum(expression(c)))
+  def lower_prefix(c: Column): Column = column(LowerPrefix(expression(c)))
   def minhash_est(a: Column, b: Column): Column =
     column(MinhashEstExpr(expression(a), expression(b)))
   def minhash_est32(a: Column, b: Column): Column =

@@ -70,8 +70,13 @@ object DocDedup {
 
   private def docSigs(spark: SparkSession, docs: DataFrame) = {
     import spark.implicits._
+    // spread the single parquet split BEFORE the signature kernel: the
+    // shingle+minhash pass is the dominant compute here and would otherwise
+    // run in one scan task (the doc text shuffled is a few MB — cheap)
     val asDocs = docs.select(col("doc_id").cast("string").as("conv_id"),
-      lit(1).as("n_turns"), col("text").as("doc_text")).as[graft.model.ConvDoc]
+      lit(1).as("n_turns"), col("text").as("doc_text"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[graft.model.ConvDoc]
     Signatures.compute(asDocs, docLshCfg)
   }
 

@@ -66,23 +66,40 @@ object IntraDup {
     import spark.implicits._
     docs.mapPartitions { it =>
       it.map { d =>
-        val counts = new scala.collection.mutable.HashMap[Long, Int]
         val (n, hsArr) = positionalShingles(d.doc_text, k)
         val hs: Array[Long] = if (hsArr.isEmpty) null else hsArr
-        if (hs != null) {
+        // multiplicity stats via a sorted copy + run scan instead of a
+        // boxing HashMap[Long, Int] (optimization r06: the per-conv map's
+        // Long boxing and rehash churn dominated this kernel's profile;
+        // same outputs — distinct repeated count, max multiplicity, excess
+        // sum — from the run lengths of the sorted array)
+        var nRep = 0; var maxMult = 0; var excess = 0L
+        val sorted: Array[Long] = if (hs == null) null else {
+          val s = hs.clone(); java.util.Arrays.sort(s)
           var i = 0
-          while (i < hs.length) {
-            counts.update(hs(i), counts.getOrElse(hs(i), 0) + 1)
-            i += 1
+          while (i < s.length) {
+            var j = i + 1
+            while (j < s.length && s(j) == s(i)) j += 1
+            val c = j - i
+            if (c > 1) { nRep += 1; if (c > maxMult) maxMult = c; excess += c - 1 }
+            i = j
           }
+          s
         }
-        // interval union of repeated spans [i, i+k) over token positions
+        // interval union of repeated spans [i, i+k) over token positions;
+        // "position repeated" = its hash occurs ≥2× — binary search in the
+        // sorted copy, duplicate ⟺ an equal neighbor exists
         var covered = 0L
-        if (hs != null) {
+        if (hs != null && nRep > 0) {
+          def isRep(h: Long): Boolean = {
+            val idx = java.util.Arrays.binarySearch(sorted, h)
+            (idx > 0 && sorted(idx - 1) == h) ||
+              (idx < sorted.length - 1 && sorted(idx + 1) == h)
+          }
           var curStart = -1; var curEnd = -1
           var i = 0
           while (i < hs.length) {
-            if (counts(hs(i)) > 1) {
+            if (isRep(hs(i))) {
               if (i >= curEnd) { // disjoint: flush previous run
                 if (curEnd > curStart) covered += curEnd - curStart
                 curStart = i
@@ -93,12 +110,11 @@ object IntraDup {
           }
           if (curEnd > curStart) covered += curEnd - curStart
         }
-        val repeated = counts.valuesIterator.filter(_ > 1).toArray
         (d.conv_id, n,
-          repeated.length,                            // distinct repeated shingles
-          if (repeated.isEmpty) 0 else repeated.max,  // max multiplicity
+          nRep,                                       // distinct repeated shingles
+          maxMult,                                    // max multiplicity
           if (n >= k)
-            repeated.map(_ - 1).sum.toDouble / math.max(1, n - k + 1)
+            excess.toDouble / math.max(1, n - k + 1)
           else 0.0,                                   // repeat mass fraction
           if (n == 0) 0.0 else covered.toDouble / n)  // interval-union coverage
       }

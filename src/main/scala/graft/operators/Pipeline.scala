@@ -297,9 +297,13 @@ object Pipeline {
       Verification.verify(cands, sigs, cfg)
     }
     val msVer = lap()
-    // T2 routing: content-type profile keys the per-class tier thresholds
+    // T2 routing: content-type profile keys the per-class tier thresholds.
+    // The verified count is already observed (the stage's checkpoint action
+    // completed above), so it rides along as the size hint that lets
+    // TierGate broadcast the endpoint attrs for small pair tables.
     val tiered = stageCk("tiered", oTier) {
-      TierGate(verified, cfg, profF.map(f => Await.result(f, Duration.Inf)))
+      TierGate(verified, cfg, profF.map(f => Await.result(f, Duration.Inf)),
+        pairCountHint = Some(oVer.get("n").asInstanceOf[Long]))
     }
     val msTier = lap()
     val dupEdges = tiered.filter($"tier" === "A" || $"tier" === "B")
@@ -426,7 +430,8 @@ object Pipeline {
     val nVer = timedCount("verified", nCands, verified, verHit)
 
     val (tiered, tierHit) = stage(spark, io, ns, hash, "tiered") {
-      TierGate(verified, cfg, Some(IntraDup.convProfile(turns)))
+      TierGate(verified, cfg, Some(IntraDup.convProfile(turns)),
+        pairCountHint = Some(nVer))
     }
     timedCount("tiered", nVer, tiered, tierHit)
 

@@ -44,8 +44,12 @@ object PolicyGates {
       (col("max_span_len") >= 200 && col("span_frac") >= 0.30)
 
   /** Default grouping when no groups table exists: the conv-id's leading
-    * letter class (generator families; in production pass a groups table). */
-  private def idClass(c: Column): Column = regexp_extract(c, "^[a-z]+", 0)
+    * letter class (generator families; in production pass a groups table).
+    * lower_prefix is the exact codegen twin of
+    * regexp_extract(c, "^[a-z]+", 0) — keeps this query's executed path
+    * free of java.util.regex and its session-first-use warmup. */
+  private def idClass(c: Column): Column =
+    graft.functions.GraftFunctions.lower_prefix(c)
 
   /**
    * Evaluate the four policy gates over a tiered-pairs table.
@@ -74,11 +78,15 @@ object PolicyGates {
   def evaluate(tiered: DataFrame, groups: Option[DataFrame] = None,
                corpusIds: Option[DataFrame] = None): DataFrame = {
     // corpus-probed class count (tiny: distinct letter-prefixes); only
-    // relevant in heuristic mode
-    val corpusClasses: Option[Long] =
+    // relevant in heuristic mode. Computed as a COLUMN joined into the one
+    // aggregate pass below (optimization r06): the former eager
+    // distinct().count() ran a full corpus scan as its own driver-blocking
+    // job before the plan was even built (the ADVICE r05 eager-action
+    // nit) — now the probe rides the same lazy plan as the gates.
+    val corpusClasses: Option[DataFrame] =
       if (groups.isEmpty)
         corpusIds.map(_.select(idClass(col("conv_id")).as("cls"))
-          .distinct().count())
+          .agg(count_distinct(col("cls")).as("n_corpus_classes")))
       else None
     val withGrp = groups match {
       case Some(g) =>
@@ -95,11 +103,14 @@ object PolicyGates {
         tiered.withColumn("cross_grp", idClass(col("conv_a")) =!= idClass(col("conv_b")))
           .withColumn("id_cls", idClass(col("conv_a")))
     }
-    // ONE aggregate pass over the pairs table; the four gate rows below read
-    // the materialized 1-row result, not re-scans of the input. n_classes
-    // rides the same pass: collect_set over the (tiny: letter-prefix) class
-    // space of BOTH endpoints — heuristic-degeneracy detector.
-    val s = withGrp.agg(
+    // ONE aggregate pass over the pairs table; the four gate rows explode
+    // out of the single 1-row aggregate (optimization r06: the former
+    // localCheckpoint-plus-4-way-union spent three serial jobs — probe,
+    // checkpoint, union read — on a 4-row result; this is one lazy plan
+    // with one job). n_classes rides the same pass: collect_set over the
+    // (tiny: letter-prefix) class space of BOTH endpoints —
+    // heuristic-degeneracy detector.
+    val agg = withGrp.agg(
       count(lit(1)).as("n"),
       coalesce(avg(when(fpProxy, 1.0).otherwise(0.0)), lit(0.0)).as("fp_rate"),
       coalesce(avg(when(col("cross_grp"), 1.0).otherwise(0.0)), lit(0.0)).as("cross_ratio"),
@@ -109,10 +120,12 @@ object PolicyGates {
       size(array_union(collect_set(col("id_cls")),
         collect_set(when(col("id_cls").isNotNull, idClass(col("conv_b"))))))
         .as("n_classes"))
-      .localCheckpoint(true)
-    def gate(name: String, value: Column, thr: Double, pass: Column, n: Column) =
-      s.select(lit(name).as("gate"), round(value, 4).as("value"),
-        lit(thr).as("threshold"), pass.cast("boolean").as("pass"), n.as("n"))
+    // the corpus-class probe joins in as a 1-row × 1-row cross join — part
+    // of the same plan, not a separate up-front action
+    val s = corpusClasses match {
+      case Some(c) => agg.crossJoin(c)
+      case None    => agg
+    }
     val anchorPrec =
       when(col("anchors") === 0, 1.0)
         .otherwise(col("anchors_a").cast("double") / col("anchors"))
@@ -122,15 +135,22 @@ object PolicyGates {
     // abstain), endpoint-probed otherwise (when-without-otherwise → null)
     val evaluable: Column = corpusClasses match {
       case _ if groups.isDefined => lit(true)
-      case Some(nc)              => lit(nc >= 2)
+      case Some(_)               => col("n_corpus_classes") >= 2
       case None                  => col("n_classes") >= 2
     }
-    gate("fp_rate", col("fp_rate"), 0.35, col("fp_rate") <= 0.35, col("n"))
-      .unionByName(gate("cross_group_ratio", col("cross_ratio"), 0.40,
-        when(evaluable, col("cross_ratio") >= 0.40), col("n")))
-      .unionByName(gate("tier_a_share", col("tier_a"), 0.05,
-        col("tier_a") >= 0.05, col("n")))
-      .unionByName(gate("anchor_precision", anchorPrec, 0.90,
-        anchorPrec >= 0.90, col("anchors")))
+    def gate(name: String, value: Column, thr: Double, pass: Column, n: Column) =
+      struct(lit(name).as("gate"), round(value, 4).as("value"),
+        lit(thr).as("threshold"), pass.cast("boolean").as("pass"), n.as("n"))
+    s.select(explode(array(
+        gate("fp_rate", col("fp_rate"), 0.35, col("fp_rate") <= 0.35, col("n")),
+        gate("cross_group_ratio", col("cross_ratio"), 0.40,
+          when(evaluable, col("cross_ratio") >= 0.40), col("n")),
+        gate("tier_a_share", col("tier_a"), 0.05,
+          col("tier_a") >= 0.05, col("n")),
+        gate("anchor_precision", anchorPrec, 0.90,
+          anchorPrec >= 0.90, col("anchors")))).as("g"))
+      .select(col("g.gate").as("gate"), col("g.value").as("value"),
+        col("g.threshold").as("threshold"), col("g.pass").as("pass"),
+        col("g.n").as("n"))
   }
 }

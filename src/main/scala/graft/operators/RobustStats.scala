@@ -53,7 +53,6 @@ object RobustStats {
                   zThreshold: Double = 3.5,
                   exact: Boolean = true,
                   accuracy: Int = 10000): DataFrame = {
-    val st = stats(events, keyCol, valCol, exact, accuracy)
     // MAD = 0 happens whenever >50% of a key's values are identical — a
     // very common per-user shape — and the old filter(mad > 1e-9) granted
     // exactly those groups blanket immunity: [5,5,5,5,5,1e9] reported NO
@@ -61,8 +60,25 @@ object RobustStats {
     // infinitely many MADs out, so flag it with a sentinel z (9999.0 — a
     // finite value keeps the driver's float-exact oracle compare trivially
     // portable) instead of dropping the group.
-    events.join(st, events(keyCol) === col("k"))
+    //
+    // Shape (optimization r06, guide §2.4): med and mad attach as window
+    // aggregates over ONE partitionBy(key) exchange — the former
+    // stats()+two-joins chain shuffled the event table three times (median
+    // groupBy, adev join+groupBy, final join). Values are identical:
+    // `percentile` sorts internally (order-independent), and the GK sketch
+    // of `approx_percentile` retains every value below `accuracy`
+    // observations per group, so both engines reproduce the joined
+    // version bit-for-bit (small-group exactness gated in RobustStatsSpec).
+    // The isNotNull guard replicates the old inner join's null-key drop.
+    import org.apache.spark.sql.expressions.Window
+    def median(c: String) =
+      if (exact) expr(s"percentile($c, 0.5)")
+      else expr(s"approx_percentile($c, 0.5, $accuracy)")
+    val w = Window.partitionBy(col(keyCol))
+    events.filter(col(keyCol).isNotNull)
+      .withColumn("med", median(valCol).over(w))
       .withColumn("adev", abs(col(valCol) - col("med")))
+      .withColumn("mad", median("adev").over(w))
       .withColumn("robust_z",
         when(col("mad") > 1e-9, col("adev") / (lit(1.4826) * col("mad")))
           .otherwise(when(col("adev") > 1e-9, lit(9999.0)).otherwise(lit(0.0))))

@@ -205,31 +205,46 @@ object TierGate {
    * dominant tiered-stage bytes). The per-endpoint attrs stay SHUFFLE_HASH
    * (|docs|-proportional — too big to broadcast at target scale).
    */
+  /** Below this many verified pairs the per-endpoint attrs table (≤ 2
+    * rows/pair × ~60 B ≈ 60 MB worst case) BROADCASTS into the pair joins
+    * instead of SHUFFLE_HASH — the same adaptive dispatch-by-input-size CC
+    * uses for its driver-local path (guide §3.1: broadcast the side that
+    * fits; Catalyst never broadcast-converts here on its own because the
+    * partial-agg exchange bytes overstate the stats size). Above the
+    * threshold — the 100-TB regime, where attrs is |docs|-proportional —
+    * the shuffle-hash plan below is unchanged. At the bench corpus this
+    * removes both pair-table exchanges from the tiered stage. */
+  val BroadcastMaxPairs: Long = 500000L
+
   private def attachAttrs(pairs: Dataset[VerifiedPair],
-                          profiles: Option[DataFrame]): DataFrame = {
+                          profiles: Option[DataFrame],
+                          small: Boolean): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val stats = endpointStats(pairs)
     val attrs = profiles match {
-      case Some(p) => stats.join(
-        p.select($"conv_id".as("ep"), $"content_type".as("ct")), Seq("ep"), "left")
+      case Some(p) =>
+        val prof = p.select($"conv_id".as("ep"), $"content_type".as("ct"))
+        stats.join(if (small) broadcast(prof) else prof, Seq("ep"), "left")
       case None => stats.withColumn("ct", lit(null).cast("string"))
     }
+    def sideHint(df: DataFrame): DataFrame =
+      if (small) df.hint("broadcast") else df.hint("shuffle_hash")
     pairs.toDF()
-      .join(attrs.select($"ep".as("conv_a"), $"mu".as("mu_a"),
-          $"sigma".as("sigma_a"), $"ct".as("ct_a"))
-        .hint("shuffle_hash"), Seq("conv_a"), "left")
-      .join(attrs.select($"ep".as("conv_b"), $"mu".as("mu_b"),
-          $"sigma".as("sigma_b"), $"ct".as("ct_b"))
-        .hint("shuffle_hash"), Seq("conv_b"), "left")
+      .join(sideHint(attrs.select($"ep".as("conv_a"), $"mu".as("mu_a"),
+          $"sigma".as("sigma_a"), $"ct".as("ct_a"))), Seq("conv_a"), "left")
+      .join(sideHint(attrs.select($"ep".as("conv_b"), $"mu".as("mu_b"),
+          $"sigma".as("sigma_b"), $"ct".as("ct_b"))), Seq("conv_b"), "left")
       .withColumn("clip_z_analog", least(zExpr("a"), zExpr("b")))
       .withColumn("pair_type", pairTypeExpr)
       .drop("mu_a", "sigma_a", "mu_b", "sigma_b", "ct_a", "ct_b")
   }
 
   def apply(pairs: Dataset[VerifiedPair], cfg: DedupConfig,
-            profiles: Option[DataFrame] = None): Dataset[TieredPair] =
-    gate(attachAttrs(pairs, profiles), cfg)
+            profiles: Option[DataFrame] = None,
+            pairCountHint: Option[Long] = None): Dataset[TieredPair] =
+    gate(attachAttrs(pairs, profiles,
+      small = pairCountHint.exists(_ <= BroadcastMaxPairs)), cfg)
 
   /**
    * Optional scored-gate column (SURVEY.md §2.3 X18 — the reference's

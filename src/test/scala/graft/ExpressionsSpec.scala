@@ -196,4 +196,36 @@ class ExpressionsSpec extends SparkSpec {
     assert(b1 == b2)
     assert(b1.values.forall(b => b >= 0 && b < (1L << 12)))
   }
+
+  test("norm_alnum ≡ trim(regexp_replace(lower(s), '[^a-z0-9]+', ' ')) on every input shape") {
+    import spark.implicits._
+    // ASCII, mixed case, digit/letter runs, punctuation runs, leading/
+    // trailing junk, empties, multi-byte chars (each byte outside [a-z0-9]),
+    // a char that LOWERCASES into the class (Kelvin sign → 'k'), and a
+    // special-casing char (İ → i + combining dot)
+    val samples = Seq("Hello,   World!", "  ..a1B2c3..  ", "", "   ", "!!!",
+      "ÄÖÜ über straße", "naïve café", "日本語 text", "a\tb\nc", "x", "K9",
+      "KELVIN", "İstanbul", "a-b_c.d", "ALL CAPS 123")
+    val df = samples.toDF("s")
+    val got = df.select(
+      GraftFunctions.norm_alnum($"s").as("k"),
+      trim(regexp_replace(lower($"s"), "[^a-z0-9]+", " ")).as("r")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"norm_alnum diverged on ${r}"))
+    // null propagates like the regex chain
+    val n = Seq[(Integer, String)]((1, null)).toDF("i", "s")
+      .select(GraftFunctions.norm_alnum($"s")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("lower_prefix ≡ regexp_extract(s, '^[a-z]+', 0)") {
+    import spark.implicits._
+    val samples = Seq("c0001", "dup42", "hnx9", "X1", "", "9a", "abc", "a",
+      "über", "ábc", "mixedCASE")
+    val got = samples.toDF("s").select(
+      GraftFunctions.lower_prefix($"s").as("k"),
+      regexp_extract($"s", "^[a-z]+", 0).as("r")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"lower_prefix diverged on ${r}"))
+  }
 }
