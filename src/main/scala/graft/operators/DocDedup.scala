@@ -46,7 +46,14 @@ object DocDedup {
   def simhashNearPairs(docs: DataFrame, topN: Int = 20): DataFrame = {
     // materialize fingerprints once and spread the nested-loop stream side
     // across all cores — the doc table is typically ONE parquet split, which
-    // would otherwise serialize the O(n²) sweep into a single task
+    // would otherwise serialize the O(n²) sweep into a single task.
+    // NOTE (optimization r06): the repartition must stay ABOVE the
+    // fingerprint projection — the exchange boundary materializes the
+    // computed simhash into the shuffled row. Spreading the scan first was
+    // tried and REVERTED: with text crossing the exchange instead, codegen
+    // defers simhash64 into the nested-loop pair loop (no boundary forces
+    // it per-row) and the sweep re-hashes the full text per PAIR — a
+    // measured 6× regression (0.37 s → 2.3 s warm at sf0.1).
     val spark = docs.sparkSession
     val f = simhashFingerprints(docs).select(col("doc_id"), col("simhash"))
       .repartition(spark.sparkContext.defaultParallelism)

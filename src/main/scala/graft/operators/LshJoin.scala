@@ -208,15 +208,21 @@ object LshJoin {
     // normalization-variant fingerprint — an uncapped variant self-join
     // would be m²/2 on template families, the most likely blowup at 100 TB)
     // shares the SAME sized/salted bucket pass via a disjoint key space.
-    val bandItems = bandTable(sigs).select(
-      col("conv_id"), col("band_key").as("bkey"), col("band_id"),
-      lit(SrcLsh).as("src"))
-    val variantItems = sigs.select(col("conv_id"),
-        posexplode(col("simhash_bundle")).as(Seq("v_id", "v_hash")))
-      .select(col("conv_id"), xxhash64(col("v_id"), col("v_hash")).as("bkey"),
-        lit(-1).as("band_id"), lit(SrcBundle).as("src"))
-    val allPairs = saltedBucketPairs(
-      bandItems.unionByName(variantItems), cfg.bandBucketCap, bucketObs)
+    // Both item sources explode out of ONE pass over the sigs checkpoint
+    // (optimization r06): the former bandItems ∪ variantItems union read —
+    // and decoded — the signature blocks twice and scheduled two map
+    // stages into the bucket exchange; one concat'd generator halves both.
+    // Rows and values are identical (same keys, ids, src codes).
+    val items = sigs.select(col("conv_id"),
+        explode(concat(
+          transform(col("bands"),
+            (k, i) => struct(k.as("bkey"), i.as("band_id"), lit(SrcLsh).as("src"))),
+          transform(col("simhash_bundle"),
+            (v, i) => struct(xxhash64(i, v).as("bkey"),
+              lit(-1).as("band_id"), lit(SrcBundle).as("src"))))).as("e"))
+      .select(col("conv_id"), col("e.bkey").as("bkey"),
+        col("e.band_id").as("band_id"), col("e.src").as("src"))
+    val allPairs = saltedBucketPairs(items, cfg.bandBucketCap, bucketObs)
 
     // Pair dedup + the MIN-BAND-HITS prefilter. With b=64/r=2 banding the
     // weakest detectable transform (J ≈ 0.42) collides in ~11 bands, while

@@ -62,9 +62,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
+      // one digest instance per task (digest() resets it), not per row —
+      // getInstance is a provider lookup + allocation on the hot path
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
-        val md5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(m.payload).map("%02x".format(_)).mkString
+        val md5 = md.digest(m.payload).map("%02x".format(_)).mkString
         MediaFeature(m.doc_id, m.modality, m.n_bytes,
           fakeDecode(m.payload), md5)
       }
