@@ -123,19 +123,28 @@ object SparkEntry {
     * shuffle. The single-file doc scan is spread before the tokenizer so
     * the normalize+split+hash work parallelizes instead of running in one
     * scan task. */
+  /** Dev plan/timing access for the un-memoized jaccard DAG (tools). */
+  private[graft] def ngramJaccardPlan(s: SparkSession, d: String): DataFrame =
+    ngramJaccard(s, d)
+
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val parts = s.sessionState.conf.numShufflePartitions
-    val toks = t(s, d, "documents").select($"doc_id", $"text")
+    // distinct trigram hashes via ONE codegen kernel call per doc
+    // (trigram_hashes = fused tokenize+hash+shingle+dedup): the former
+    // transform(sequence, xxhash64(element_at×3)) + array_distinct chain
+    // ran as interpreted per-element lambdas — measured ~10× this kernel —
+    // and made every re-evaluation of the generator subtree expensive
+    val base = t(s, d, "documents").select($"doc_id", $"text")
       .repartition(parts)
-      .select($"doc_id", split(normText($"text"), " ").as("toks"))
-    val grams = toks.select($"doc_id",
-        explode(when(size($"toks") >= 3,
-          array_distinct(transform(sequence(lit(1), size($"toks") - 2),
-            i => xxhash64(element_at($"toks", i),
-              element_at($"toks", i + 1), element_at($"toks", i + 2)))))
-          .otherwise(array().cast("array<bigint>"))).as("sh"))
-    val sz = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .select($"doc_id",
+        graft.functions.GraftFunctions.trigram_hashes(normText($"text")).as("ga"))
+    val grams = base.select($"doc_id", explode($"ga").as("sh"))
+    // per-doc distinct-shingle count straight off the array — the former
+    // grams.groupBy(doc_id).count paid an exchange + agg for a value the
+    // generator's child already holds (n = 0 rows simply never match the
+    // inner joins below, exactly like their absence from the old count)
+    val sz = base.select($"doc_id", size($"ga").cast("long").as("n"))
     // df via window + grouped member list: one exchange of the shingle
     // table feeds sizing AND pair enumeration (the groupBy rides the
     // window's hashpartitioning); singletons drop for free

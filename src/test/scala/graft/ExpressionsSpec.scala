@@ -218,6 +218,30 @@ class ExpressionsSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("trigram_hashes: distinctness ≡ string-trigram distinctness; short-doc empty") {
+    import spark.implicits._
+    def stringTrigrams(norm: String): Set[Seq[String]] = {
+      val t = norm.split(' ')
+      if (norm.isEmpty || t.length < 3) Set.empty
+      else t.sliding(3).map(_.toSeq).toSet
+    }
+    val texts = Seq(
+      "a b c d e f", "a b c a b c a b c", "x y", "", "one two three",
+      "the quick brown fox jumps over the quick brown fox")
+    val got = texts.toDF("s")
+      .select(size(GraftFunctions.trigram_hashes($"s")).as("n")).as[Int].collect()
+    texts.zip(got).foreach { case (s, n) =>
+      assert(n == stringTrigrams(s).size, s"count diverged on '$s'")
+    }
+    // shared-trigram counting (the quantity ngram_jaccard aggregates):
+    // hash-set intersection size == string-trigram intersection size
+    val a = "u v w x y z"; val b = "p q u v w x r s"
+    val Array(ha, hb) = Seq(a, b).toDF("s")
+      .select(GraftFunctions.trigram_hashes($"s")).as[Seq[Long]].collect()
+    assert(ha.toSet.intersect(hb.toSet).size ==
+      stringTrigrams(a).intersect(stringTrigrams(b)).size)
+  }
+
   test("lower_prefix ≡ regexp_extract(s, '^[a-z]+', 0)") {
     import spark.implicits._
     val samples = Seq("c0001", "dup42", "hnx9", "X1", "", "9a", "abc", "a",
