@@ -382,19 +382,23 @@ object SparkEntry {
           sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
     }),
     // per-entity z-score with exact decimal moments (X12/A1 z-score kernel).
-    // Stats attach as window aggregates over ONE partitionBy(user_id)
-    // exchange instead of the former groupBy + join-back (two exchanges +
-    // a join): decimal sums are exact and order-independent, so the window
-    // values are bit-identical to the joined ones; the isNotNull guard
-    // replicates the old inner join's null-key drop.
+    // Shape note (optimization r06): a window-aggregate rewrite was tried
+    // and REVERTED — the groupBy's partial aggregation collapses the event
+    // table to ~|users| decimal rows BEFORE the exchange and the stats
+    // table broadcast-joins back (the event side never shuffles), while
+    // the window shuffles every event row. The original shape is the
+    // cheaper one at every scale; contrast q_mad_outliers, where
+    // `percentile` buffers whole groups either way and the window saves
+    // two of three shuffles.
     "q_user_zscore" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"user_id")
-      t(s, d, "events").filter($"user_id".isNotNull)
-        .withColumn("n", count(lit(1)).over(w).cast("double"))
-        .withColumn("s1", sum($"value".cast("decimal(18,2)")).over(w).cast("double"))
-        .withColumn("s2", sum(($"value".cast("decimal(18,2)") * $"value".cast("decimal(18,2)")))
-          .over(w).cast("double"))
+      val e = t(s, d, "events")
+      val stats = e.groupBy($"user_id".as("uid")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("s1"),
+        sum(($"value".cast("decimal(18,2)") * $"value".cast("decimal(18,2)")))
+          .cast("double").as("s2"))
+      e.join(stats, e("user_id") === stats("uid"))
         .withColumn("mu", $"s1" / $"n")
         .withColumn("variance", $"s2" / $"n" - $"mu" * $"mu")
         .filter($"variance" > 1e-12)
