@@ -160,6 +160,59 @@ object Expr0 {
     UTF8String.fromBytes(b, 0, i)
   }
 
+  /** The verify pass-1 evidence kernel as ONE static call (optimization
+    * r06): exactly the per-pair body of the former Dataset.map — same
+    * TextKernel calls in the same order on the same decoded values — so
+    * outputs are bit-identical, but the plan carries a small expression
+    * tree instead of the tuple13 ExpressionEncoder's deserialize/serialize
+    * trees (measured ~0.75 s of Catalyst planning per pipeline rep, plus
+    * per-row Array boxing/copy churn in the object boundary). */
+  def pairEvidence(skA: ArrayData, blkA: ArrayData, shA: Long, bunA: ArrayData,
+                   skB: ArrayData, blkB: ArrayData, shB: Long, bunB: ArrayData,
+                   est: Double, topK: Int, blockFloor: Double, cutoff: Int,
+                   strictJ: Double): org.apache.spark.sql.catalyst.InternalRow = {
+    val jac = TextKernel.jaccardSorted(skA.toIntArray(), skB.toIntArray())
+    val nBlk = math.min(blkA.numElements(), blkB.numElements())
+    val blockJ = new Array[Double](nBlk)
+    var i = 0
+    var verifiedBlocks = 0
+    while (i < nBlk) {
+      val bj = TextKernel.jaccardSorted(
+        blkA.getArray(i).toIntArray(), blkB.getArray(i).toIntArray())
+      blockJ(i) = bj
+      if (bj >= blockFloor) verifiedBlocks += 1
+      i += 1
+    }
+    java.util.Arrays.sort(blockJ)
+    var s = 0.0; var c = 0; var j = nBlk - 1
+    while (j >= 0 && c < topK) { s += blockJ(j); c += 1; j -= 1 }
+    val patchTopK = if (c == 0) 0.0 else s / c
+    val patchMin = if (nBlk == 0) 0.0 else blockJ(0)
+    val shDist = TextKernel.hamming(shA, shB)
+    val bunDist = TextKernel.minHammingBundle(
+      bunA.toLongArray(), bunB.toLongArray(), cutoff)
+    val needSpan = jac < strictJ && bunDist > cutoff && est >= 0.15
+    org.apache.spark.sql.catalyst.InternalRow(
+      jac, patchTopK, patchMin, verifiedBlocks, shDist, bunDist, needSpan)
+  }
+
+  /** The verify pass-2 span kernel as one static call: same
+    * SuffixSpans/TextKernel calls and the same Java-String length arithmetic
+    * as the former tuple14 Dataset.map (String.length counts UTF-16 units —
+    * deliberately NOT Spark's codepoint length()). */
+  def lcsSpanStats(a: UTF8String, b: UTF8String,
+                   useSa: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val sa = a.toString; val sb = b.toString
+    val (span, offset) =
+      if (useSa) {
+        val (l, pa, pb) = graft.operators.SuffixSpans.lcsWithPositions(sa, sb)
+        (l, pa - pb)
+      } else (TextKernel.longestCommonSubstring(sa, sb), 0)
+    val minLen = math.max(1, math.min(sa.length, sb.length))
+    org.apache.spark.sql.catalyst.InternalRow(
+      span, span.toDouble / minLen, offset)
+  }
+
   def dotArr(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray(); val y = b.toDoubleArray()
     val n = math.min(x.length, y.length)
@@ -383,6 +436,90 @@ case class MinhashEst8Expr(left: Expression, right: Expression)
   override def prettyName: String = "minhash_est8"
 }
 
+/** pair_evidence(sketch_a, blocks_a, simhash_a, bundle_a, sketch_b,
+  * blocks_b, simhash_b, bundle_b, minhash_est): the verify pass-1 evidence
+  * kernel as one codegen'd expression returning a struct — replaces the
+  * tuple13 ExpressionEncoder Dataset.map (see Expr0.pairEvidence for the
+  * bit-parity argument and the planning-cost motivation). */
+case class PairEvidenceExpr(children: Seq[Expression], topK: Int,
+    blockFloor: Double, cutoff: Int, strictJ: Double) extends Expression {
+  require(children.length == 9, "pair_evidence takes 9 column inputs")
+  override def dataType: DataType = PairEvidenceExpr.schema
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else Expr0.pairEvidence(
+      vs(0).asInstanceOf[ArrayData], vs(1).asInstanceOf[ArrayData],
+      vs(2).asInstanceOf[Long], vs(3).asInstanceOf[ArrayData],
+      vs(4).asInstanceOf[ArrayData], vs(5).asInstanceOf[ArrayData],
+      vs(6).asInstanceOf[Long], vs(7).asInstanceOf[ArrayData],
+      vs(8).asInstanceOf[Double], topK, blockFloor, cutoff, strictJ)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gens = children.map(_.genCode(ctx))
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val childCode = gens.map(_.code.toString).mkString("\n")
+    val isNullInit =
+      if (nullable) gens.map(_.isNull.toString).mkString(" || ") else "false"
+    val call = s"graft.functions.Expr0.pairEvidence(" +
+      gens.map(_.value.toString).mkString(", ") +
+      s", $topK, ${blockFloor}D, $cutoff, ${strictJ}D)"
+    val block =
+      s"""
+         |$childCode
+         |boolean ${ev.isNull} = $isNullInit;
+         |$rowCls ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $call;
+         |}
+       """.stripMargin
+    ev.copy(code = code"$block")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PairEvidenceExpr =
+    copy(children = newChildren)
+  override def prettyName: String = "pair_evidence"
+}
+
+object PairEvidenceExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("jaccard", DoubleType, nullable = false),
+    StructField("jaccard_patch_topk", DoubleType, nullable = false),
+    StructField("jaccard_patch_min", DoubleType, nullable = false),
+    StructField("n_verified_blocks", IntegerType, nullable = false),
+    StructField("simhash_dist", IntegerType, nullable = false),
+    StructField("bundle_dist", IntegerType, nullable = false),
+    StructField("need_span", BooleanType, nullable = false)))
+}
+
+/** lcs_span_stats(head_a, head_b): the verify pass-2 span kernel as one
+  * codegen'd expression — struct(max_span_len, span_frac, span_offset)
+  * with the exact Java-String arithmetic of the former tuple14 map
+  * (see Expr0.lcsSpanStats). */
+case class LcsSpanStats(left: Expression, right: Expression, useSa: Boolean)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(StringType, StringType)
+  override def dataType: DataType = LcsSpanStats.schema
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Expr0.lcsSpanStats(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], useSa)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Expr0.lcsSpanStats($a, $b, $useSa)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsSpanStats =
+    copy(left = l, right = r)
+  override def prettyName: String = "lcs_span_stats"
+}
+
+object LcsSpanStats {
+  val schema: StructType = StructType(Seq(
+    StructField("max_span_len", IntegerType, nullable = false),
+    StructField("span_frac", DoubleType, nullable = false),
+    StructField("span_offset", IntegerType, nullable = false)))
+}
+
 /** Column-API facade + SQL registration for the custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
@@ -409,6 +546,15 @@ object GraftFunctions {
     column(MinhashEst8Expr(expression(a), expression(b)))
   def hyperplane_sig(c: Column, nPlanes: Int = 8, seed: Long = 7L): Column =
     column(HyperplaneSig(expression(c), nPlanes, seed))
+  def pair_evidence(skA: Column, blkA: Column, shA: Column, bunA: Column,
+                    skB: Column, blkB: Column, shB: Column, bunB: Column,
+                    est: Column, topK: Int, blockFloor: Double, cutoff: Int,
+                    strictJ: Double): Column =
+    column(PairEvidenceExpr(
+      Seq(skA, blkA, shA, bunA, skB, blkB, shB, bunB, est).map(expression),
+      topK, blockFloor, cutoff, strictJ))
+  def lcs_span_stats(a: Column, b: Column, useSa: Boolean): Column =
+    column(LcsSpanStats(expression(a), expression(b), useSa))
 
   /** Register for SQL use: SELECT simhash64(text) FROM docs. */
   def register(spark: SparkSession): Unit = {

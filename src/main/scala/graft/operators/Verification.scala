@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.functions._
-import graft.functions.TextKernel
 import graft.model._
 
 /**
@@ -122,48 +121,39 @@ object Verification {
     val useSa = cfg.spanEngine == "sa"
     val blockFloor = cfg.blockVerifyJaccard
 
-    val pass1 = joined.select(
-        $"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"source",
-        $"simhash_a", $"simhash_bundle_a", $"sketch_a", $"block_sketches_a",
-        $"simhash_b", $"simhash_bundle_b", $"sketch_b", $"block_sketches_b")
-      .as[(String, String, String, Double, String,
-           Long, Array[Long], Array[Int], Array[Array[Int]],
-           Long, Array[Long], Array[Int], Array[Array[Int]])]
-      .map { case (pk, a, b, est, src,
-                   shA, bunA, skA, blkA,
-                   shB, bunB, skB, blkB) =>
-        val jac = TextKernel.jaccardSorted(skA, skB)
-        val nBlk = math.min(blkA.length, blkB.length)
-        val blockJ = new Array[Double](nBlk)
-        var i = 0
-        var verifiedBlocks = 0
-        while (i < nBlk) {
-          val bj = TextKernel.jaccardSorted(blkA(i), blkB(i))
-          blockJ(i) = bj
-          if (bj >= blockFloor) verifiedBlocks += 1 // T4 "verified tile"
-          i += 1
-        }
-        java.util.Arrays.sort(blockJ)
-        var s = 0.0; var c = 0; var j = nBlk - 1
-        while (j >= 0 && c < topK) { s += blockJ(j); c += 1; j -= 1 }
-        val patchTopK = if (c == 0) 0.0 else s / c
-        val patchMin = if (nBlk == 0) 0.0 else blockJ(0)
-        val shDist = TextKernel.hamming(shA, shB)
-        val bunDist = TextKernel.minHammingBundle(bunA, bunB, cutoff)
-        // progressive gating: expensive span check only when cheap evidence
-        // is inconclusive but the pair is plausible
-        val needSpan = jac < strictJ && bunDist > cutoff && est >= 0.15
-        (VerifiedPair(pk, a, b, est, jac, patchTopK, patchMin, verifiedBlocks,
-          shDist, bunDist,
-          variant_matched = bunDist <= cutoff,
-          max_span_len = 0, span_frac = 0.0, span_offset = 0, source = src),
-         needSpan)
-      }
-      .select($"_1.*", $"_2".as("need_span"))
+    // The per-pair evidence body runs as ONE codegen'd expression
+    // (graft.functions.PairEvidenceExpr — same TextKernel calls in the same
+    // order as the former tuple13 Dataset.map, so outputs are bit-identical;
+    // VerificationSpec pins full-row parity against a direct kernel replay).
+    // Motivation (optimization r06, guide §1.2 per-task work): the encoder's
+    // deserialize/serialize trees dominated the stage's Catalyst planning
+    // (~0.75 s per pipeline rep) and its object boundary re-boxed every
+    // sketch array per row; the expression form plans in milliseconds and
+    // feeds the evidence loop ArrayData views with zero copies.
+    val evCol = graft.functions.GraftFunctions.pair_evidence(
+      $"sketch_a", $"block_sketches_a", $"simhash_a", $"simhash_bundle_a",
+      $"sketch_b", $"block_sketches_b", $"simhash_b", $"simhash_bundle_b",
+      $"minhash_est", topK, blockFloor, cutoff, strictJ)
+    val pass1 = joined
+      .select($"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"source",
+        evCol.as("ev"))
       // eager stage boundary: the fat join above must run ONCE, not once
       // per consuming branch below (and the checkpoint is narrow — the
-      // evidence columns, ~150 B/row)
+      // evidence struct, ~60 B/row); checkpointing the UN-flattened struct
+      // guarantees the evidence expression evaluates once per pair no
+      // matter how many extractions follow
       .localCheckpoint(true)
+      .select($"pair_key", $"conv_a", $"conv_b", $"minhash_est",
+        $"ev.jaccard".as("jaccard"),
+        $"ev.jaccard_patch_topk".as("jaccard_patch_topk"),
+        $"ev.jaccard_patch_min".as("jaccard_patch_min"),
+        $"ev.n_verified_blocks".as("n_verified_blocks"),
+        $"ev.simhash_dist".as("simhash_dist"),
+        $"ev.bundle_dist".as("bundle_dist"),
+        ($"ev.bundle_dist" <= lit(cutoff)).as("variant_matched"),
+        lit(0).as("max_span_len"), lit(0.0).as("span_frac"),
+        lit(0).as("span_offset"), $"source",
+        $"ev.need_span".as("need_span"))
 
     val done = pass1.filter(!$"need_span").drop("need_span").as[VerifiedPair]
 
@@ -175,6 +165,12 @@ object Verification {
     // per TRIGGERED pair — the untriggered majority never ships a byte
     // of text.
     val heads = sigs.select($"conv_id", $"head_text")
+    // span kernel as one codegen'd expression (LcsSpanStats — identical
+    // SuffixSpans/TextKernel calls and Java-String length arithmetic as the
+    // former tuple14 map); the three extractions below share one evaluation
+    // via codegen subexpression elimination over the identical subtree
+    val spCol = graft.functions.GraftFunctions.lcs_span_stats(
+      $"head_a", $"head_b", useSa)
     val spanned = pass1.filter($"need_span").drop("need_span")
       .join(heads.select($"conv_id".as("conv_a"), $"head_text".as("head_a"))
         .hint("shuffle_hash"), "conv_a")
@@ -182,24 +178,12 @@ object Verification {
         .hint("shuffle_hash"), "conv_b")
       .select($"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"jaccard",
         $"jaccard_patch_topk", $"jaccard_patch_min", $"n_verified_blocks",
-        $"simhash_dist", $"bundle_dist", $"variant_matched", $"source",
-        $"head_a", $"head_b")
-      .as[(String, String, String, Double, Double, Double, Double,
-           Int, Int, Int, Boolean, String, String, String)]
-      .map { case (pk, a, b, est, jac, patchTopK, patchMin,
-                   verifiedBlocks, shDist, bunDist, variantMatched,
-                   src, headA, headB) =>
-        val (span, offset) =
-          if (useSa) {
-            val (l, pa, pb) = SuffixSpans.lcsWithPositions(headA, headB)
-            (l, pa - pb)
-          } else (TextKernel.longestCommonSubstring(headA, headB), 0)
-        val minLen = math.max(1, math.min(headA.length, headB.length))
-        VerifiedPair(pk, a, b, est, jac, patchTopK, patchMin, verifiedBlocks,
-          shDist, bunDist, variant_matched = variantMatched,
-          max_span_len = span, span_frac = span.toDouble / minLen,
-          span_offset = offset, source = src)
-      }
+        $"simhash_dist", $"bundle_dist", $"variant_matched",
+        spCol.getField("max_span_len").as("max_span_len"),
+        spCol.getField("span_frac").as("span_frac"),
+        spCol.getField("span_offset").as("span_offset"),
+        $"source")
+      .as[VerifiedPair]
 
     done.unionByName(spanned)
   }

@@ -62,6 +62,47 @@ class VerificationSpec extends SparkSpec {
     assert(edited.span_frac > 0.3)
   }
 
+  test("expression-based evidence matches a direct kernel replay of the former map, full row") {
+    import graft.functions.TextKernel
+    val (sigs, _, verified) = verifiedAll
+    val byId = sigs.collect().map(s => s.conv_id -> s).toMap
+    def sk32(a: Array[Long]): Array[Int] =
+      a.map(v => (v >> 32).toInt).distinct
+    verified.foreach { p =>
+      val (sa, sb) = (byId(p.conv_a), byId(p.conv_b))
+      val (skA, skB) = (sk32(sa.sketch), sk32(sb.sketch))
+      val jac = TextKernel.jaccardSorted(skA, skB)
+      val blkA = sa.block_sketches.map(sk32); val blkB = sb.block_sketches.map(sk32)
+      val nBlk = math.min(blkA.length, blkB.length)
+      val blockJ = (0 until nBlk).map(i => TextKernel.jaccardSorted(blkA(i), blkB(i))).toArray
+      val verifiedBlocks = blockJ.count(_ >= cfg.blockVerifyJaccard)
+      java.util.Arrays.sort(blockJ)
+      val top = blockJ.reverse.take(cfg.patchTopK)
+      val patchTopK = if (top.isEmpty) 0.0 else top.sum / top.length
+      val patchMin = if (nBlk == 0) 0.0 else blockJ(0)
+      val shDist = TextKernel.hamming(sa.simhash, sb.simhash)
+      val bunDist = TextKernel.minHammingBundle(sa.simhash_bundle, sb.simhash_bundle, cfg.simhashMaxDist)
+      val needSpan = jac < cfg.tierAJaccard && bunDist > cfg.simhashMaxDist && p.minhash_est >= 0.15
+      assert(p.jaccard === jac, s"${p.pair_key} jaccard")
+      assert(p.jaccard_patch_topk === patchTopK, s"${p.pair_key} patch_topk")
+      assert(p.jaccard_patch_min === patchMin, s"${p.pair_key} patch_min")
+      assert(p.n_verified_blocks === verifiedBlocks, s"${p.pair_key} n_verified_blocks")
+      assert(p.simhash_dist === shDist, s"${p.pair_key} simhash_dist")
+      assert(p.bundle_dist === bunDist, s"${p.pair_key} bundle_dist")
+      assert(p.variant_matched === (bunDist <= cfg.simhashMaxDist), s"${p.pair_key} variant_matched")
+      if (needSpan) {
+        val (l, pa, pb) = graft.operators.SuffixSpans.lcsWithPositions(sa.head_text, sb.head_text)
+        val minLen = math.max(1, math.min(sa.head_text.length, sb.head_text.length))
+        assert(p.max_span_len === l, s"${p.pair_key} span")
+        assert(p.span_frac === l.toDouble / minLen, s"${p.pair_key} span_frac")
+        assert(p.span_offset === pa - pb, s"${p.pair_key} span_offset")
+      } else {
+        assert(p.max_span_len === 0 && p.span_frac === 0.0 && p.span_offset === 0,
+          s"${p.pair_key} untriggered pair must carry zero span")
+      }
+    }
+  }
+
   test("high-32 truncated jaccard matches the 64-bit reference jaccard on this corpus") {
     val (sigs, _, verified) = verifiedAll
     val full = sigs.collect().map(s => s.conv_id -> s.sketch).toMap
