@@ -80,16 +80,30 @@ object LshJoin {
    */
   private def saltedBucketPairs(items: DataFrame, cap: Int,
                                 obs: Option[Observation]): DataFrame = {
-    // Bucket sizing rides ONE exchange: count + representative-flag window
-    // aggregates over partitionBy(bkey) replace the old groupBy(bkey) agg +
-    // join-back (which cost a second full shuffle of the items AND an extra
-    // sequential stage boundary — measured driver-floor weight in the 2→8
-    // scaling budget). The self-join, rep-extraction, and bridge chain below
-    // all reuse this same hash-partitioning via the partitioning-subset rule
-    // (HashPartitioning(bkey) satisfies clustering on (bkey, salt)), so the
-    // whole bucket phase is one shuffle wide.
+    // Bucket sizing rides ONE exchange, shared by every consumer below.
+    // Explicit-N (REPARTITION_BY_NUM) rather than letting the first
+    // consumer insert an ENSURE_REQUIREMENTS shuffle: AQE's coalescing
+    // floors partitions at minPartitionSize (1 MB), so the ~27 MB band
+    // exchange at the bench corpus ran its reduces in 16 tasks on 32
+    // cores — the same bytes-vs-work convoy the `spread` note below
+    // documents. Pinning at the data-sized shuffle-partition count
+    // (sizeShuffleForCorpus) keeps reduces full-width; at 100-TB scale
+    // the exchange is far above the coalesce floor and the plan is
+    // unchanged.
+    //
+    // Shape: count + representative-flag window aggregates over
+    // partitionBy(bkey) — ONE pass over ONE exchange. A hash-aggregate +
+    // co-partitioned join-back was tried this round (optimization r06) and
+    // REVERTED: Catalyst column-prunes the aggregate branch's input, so the
+    // two reads of the "same" exchange never canonicalize equal and the
+    // item GENERATOR (sigs scan + band/variant explode) runs twice — one
+    // extra shuffle stage, ~2× the map-side task time, and a measured
+    // 2.3→3.0 s warm stage regression. The window's in-partition sort is
+    // NOT the bottleneck at this corpus; the single shared exchange is
+    // worth more than the sort costs.
+    val parts = items.sparkSession.sessionState.conf.numShufflePartitions
     val wB = Window.partitionBy(col("bkey"))
-    val withSz = items
+    val withSz = items.repartition(parts, col("bkey"))
       .withColumn("bsz", count(lit(1)).over(wB))
       // conv_id is unique within a bucket (band keys mix the band index;
       // variant keys mix v_id), so min(conv_id) flags exactly one rep row
@@ -108,6 +122,12 @@ object LshJoin {
           .otherwise(pmod(xxhash64(col("conv_id")), col("n_salts")).cast("int")))
       .select(col("conv_id"), col("bkey"), col("band_id"), col("src"),
         col("salt"), col("n_salts"))
+    // (the explicit-N repartition above replaces the window's own
+    // ENSURE_REQUIREMENTS shuffle one-for-one: ClusteredDistribution(bkey)
+    // is satisfied by HashPartitioning(bkey, parts), so exchange count is
+    // unchanged while AQE's 1 MB-floor coalescing — 16 tasks on 32 cores
+    // at the bench corpus — no longer applies; see the pair-chain note in
+    // `candidates`)
 
     // Within-bucket pairs by GROUPED ENUMERATION, not a self-join. A
     // (bkey, salt) group is cap-bounded by construction, so its member
@@ -240,8 +260,19 @@ object LshJoin {
     // old chain paid five sequential pair-table shuffles here; the driver's
     // stage-scheduling gaps between them were measured serial residue in
     // the 2→8 scaling budget.
+    // Explicit-N on every pair-table exchange in this chain (here, the
+    // conv_b join spread, and the rk_a window spread below): a keyed
+    // repartition without N is REPARTITION_BY_COL — AQE coalesces it by
+    // BYTES (1 MB floor), and the 14-23 MB pair exchanges at the bench
+    // corpus ran their dedup agg / scoring join / cap windows in 14-16
+    // tasks on 32 cores while per-row work (string-pair hashing, b-bit
+    // estimates, window sorts) dwarfs the bytes. Pinning at the data-sized
+    // count keeps the reduces full-width; exchange count and 100-TB plan
+    // shape are unchanged (these exchanges exceed the coalesce floor at
+    // scale).
+    val parts = spark.sessionState.conf.numShufflePartitions
     val uniquePairs = allPairs
-      .repartition($"conv_a")
+      .repartition(parts, $"conv_a")
       .groupBy($"conv_a", $"conv_b")
       .agg(min($"band_id").as("band_id"),
         sum(when($"src" === SrcLsh, 1L).otherwise(0L)).as("lsh_hits"),
@@ -286,6 +317,7 @@ object LshJoin {
     val scored = uniquePairs
       .join(mh.select($"conv_id".as("conv_a"), $"mhb".as("ma"))
         .hint("shuffle_hash"), "conv_a")
+      .repartition(parts, $"conv_b") // pinned-width conv_b spread (see above)
       .join(mh.select($"conv_id".as("conv_b"), $"mhb".as("mb"))
         .hint("shuffle_hash"), "conv_b")
       .withColumn("minhash_est", est(col("ma"), col("mb")))
@@ -321,6 +353,7 @@ object LshJoin {
     // hash-partitioned on conv_b, so this window is sort-only (no exchange)
     scored
       .withColumn("rk_b", row_number().over(wB))
+      .repartition(parts, $"conv_a") // pinned-width rk_a spread (see above)
       .withColumn("rk_a", row_number().over(wA))
       .filter($"rk_a" <= k || $"rk_b" <= k)
       .drop("rk_a", "rk_b")
