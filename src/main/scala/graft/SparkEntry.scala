@@ -281,9 +281,11 @@ object SparkEntry {
       // the former aggregate(zip_with)/aggregate(transform) chains — same
       // left-to-right double accumulation — but a tight JVM loop instead of
       // interpreted per-element lambdas); the query side is spread so the
-      // nested-loop scoring doesn't serialize into the single scan task
-      val v = t(s, d, "embeddings").select($"vec_id",
-        transform($"embedding", x => x.cast("double")).as("e"))
+      // nested-loop scoring doesn't serialize into the single scan task.
+      // The raw float[] embedding feeds dot_arr directly (per-element
+      // widening inside the kernel is IEEE-exact ≡ the former cast-to-
+      // double projection) — the broadcast side ships HALF the bytes
+      val v = t(s, d, "embeddings").select($"vec_id", $"embedding".as("e"))
       val n = v.withColumn("nrm", sqrt(dot_arr($"e", $"e")))
       val q = n.filter($"vec_id" < 20)
         .select($"vec_id".as("q_id"), $"e".as("qe"), $"nrm".as("qn"))
@@ -300,8 +302,9 @@ object SparkEntry {
     "embed_near_dup" -> ((s, d) => {
       import s.implicits._
       import graft.functions.GraftFunctions.dot_arr
-      val v = t(s, d, "embeddings").select($"vec_id",
-        transform($"embedding", x => x.cast("double")).as("e"))
+      // raw float[] into dot_arr (exact widening in-kernel; half the
+      // broadcast bytes) — see ann_cosine_topk
+      val v = t(s, d, "embeddings").select($"vec_id", $"embedding".as("e"))
       val n = v.withColumn("nrm", sqrt(dot_arr($"e", $"e")))
       // spread the nested-loop stream side: the embeddings table is ONE
       // parquet split, which would otherwise serialize the O(n²) cosine

@@ -213,15 +213,24 @@ object Expr0 {
       span, span.toDouble / minLen, offset)
   }
 
-  def dotArr(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toDoubleArray(); val y = b.toDoubleArray()
-    val n = math.min(x.length, y.length)
+  def dotArr(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
     var s = 0.0; var i = 0
     // Left-to-right accumulation: bit-equal to aggregate(zip_with) for
     // EQUAL-length inputs (the only internal use). Unequal lengths truncate
     // to the shorter array, whereas the zip_with chain would yield NULL
     // (null-padded products) — documented divergence on the SQL surface.
-    while (i < n) { s += x(i) * y(i); i += 1 }
+    // Float inputs widen per element (exact in IEEE), so feeding the raw
+    // float[] embedding column is bit-identical to the former
+    // transform(cast-to-double) projection — which existed ONLY to feed
+    // this kernel and doubled the bytes of every embedding the ANN queries
+    // broadcast or shuffle (optimization r06).
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
     s
   }
 }
@@ -325,18 +334,34 @@ case class LowerPrefix(child: Expression)
   override def prettyName: String = "lower_prefix"
 }
 
-/** dot_arr(a, b): dot product of two double arrays — the embedding-kernel hot
-  * path (brute-force cosine, near-dup thresholding) as a tight JVM loop
+/** dot_arr(a, b): dot product of two numeric arrays — the embedding-kernel
+  * hot path (brute-force cosine, near-dup thresholding) as a tight JVM loop
   * inside whole-stage codegen instead of an interpreted
-  * aggregate(zip_with(...)) higher-order-function chain. */
+  * aggregate(zip_with(...)) higher-order-function chain. Accepts float or
+  * double arrays per side (per-element widening is IEEE-exact, so raw
+  * float[] embeddings need no cast projection — see Expr0.dotArr). */
 case class DotArr(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
-  override def inputTypes: Seq[ADT] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_arr needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
-    Expr0.dotArr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    Expr0.dotArr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Expr0.dotArr($a, $b)")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Expr0.dotArr($a, $b, ${isFloat(left)}, ${isFloat(right)})")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotArr =
     copy(left = l, right = r)
   override def prettyName: String = "dot_arr"

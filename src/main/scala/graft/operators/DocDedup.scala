@@ -154,9 +154,12 @@ object DocDedup {
   def annLshTopK(emb: DataFrame, k: Int = 5, nPlanes: Int = 8,
                  probeRadius: Int = 1, seed: Long = 7L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // raw float[] into dot_arr (exact per-element widening in-kernel, same
+    // accumulation order as the former cast-to-double projection — half the
+    // bytes through the bucket join)
     val withB = emb.select(col("vec_id"),
         hyperplane_sig(col("embedding"), nPlanes, seed).as("bucket"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
+        col("embedding").as("e"))
       .withColumn("nrm", sqrt(dot_arr(col("e"), col("e"))))
     // NB: rename the join key on the query side — self-join column refs from
     // the same lineage resolve to one attribute id, silently degenerating the

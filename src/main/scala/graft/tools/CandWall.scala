@@ -49,7 +49,10 @@ object CandWall {
       jobs = 0; stages = 0; taskTimeMs = 0L; jobGapMs = 0L; lastJobEnd = 0L
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      val raw = LshJoin.candidates(sigs, cfg, None)
+      // pipeline-identical call: the bucket observation rides along (rep 2
+      // omits it, isolating the CollectMetrics cost/plan difference)
+      val raw = LshJoin.candidates(sigs, cfg,
+        if (rep == 2) None else Some(org.apache.spark.sql.Observation()))
       val qe = raw.queryExecution
       qe.executedPlan // force analysis + optimization + physical planning
       val tPlan = System.nanoTime()

@@ -128,6 +128,25 @@ class ExpressionsSpec extends SparkSpec {
     assert(df.filter(GraftFunctions.dot_arr($"a", $"b") > 31.0).count() == 1)
   }
 
+  test("DotArr on raw float arrays ≡ DotArr on cast-to-double arrays, bit-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{transform => atransform}
+    // values chosen to exercise inexact float representations (0.1f etc.)
+    val df = Seq((Array(0.1f, 2.7f, -3.33f, 1e-8f), Array(4.2f, -0.5f, 6.125f, 3f)))
+      .toDF("a", "b")
+    val viaFloat = df.select(GraftFunctions.dot_arr($"a", $"b")).head().getDouble(0)
+    val viaCast = df.select(GraftFunctions.dot_arr(
+      atransform($"a", x => x.cast("double")),
+      atransform($"b", x => x.cast("double")))).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(viaFloat) ==
+      java.lang.Double.doubleToLongBits(viaCast))
+    // mixed float/double sides work too
+    val mixed = df.select(GraftFunctions.dot_arr($"a",
+      atransform($"b", x => x.cast("double")))).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(mixed) ==
+      java.lang.Double.doubleToLongBits(viaCast))
+  }
+
   test("TopKMean aggregator: mean of k largest, partial-merge safe") {
     import spark.implicits._
     val topk = udaf(TopKMean(3))
