@@ -160,6 +160,35 @@ object Expr0 {
     UTF8String.fromBytes(b, 0, i)
   }
 
+  /** High-32-bit truncation + dedup of a SORTED long array, one codegen
+    * pass (optimization r06): exact twin of
+    * array_distinct(transform(a, v => shiftright(v, 32).cast("int"))) for
+    * sorted inputs — signed shiftright is monotonic, so equal truncations
+    * are adjacent and first-occurrence dedup ≡ adjacent dedup, same values
+    * in the same order. The HOF chain ran an interpreted lambda per
+    * element (sketchK + numBlocks·blockK ≈ 3.3k per doc) on the verify
+    * payload's map side. */
+  def sketch32(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    var w = 0; var i = 0
+    var prev = 0
+    while (i < n) {
+      val v = (a.getLong(i) >> 32).toInt
+      if (w == 0 || v != prev) { out(w) = v; w += 1; prev = v }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  def blocks32(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = sketch32(a.getArray(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** The verify pass-1 evidence kernel as ONE static call (optimization
     * r06): exactly the per-pair body of the former Dataset.map — same
     * TextKernel calls in the same order on the same decoded values — so
@@ -520,6 +549,35 @@ object PairEvidenceExpr {
     StructField("need_span", BooleanType, nullable = false)))
 }
 
+/** sketch32(a): high-32 truncate + dedup of a sorted long array — the
+  * verify payload-slimming projection as one codegen pass (see
+  * Expr0.sketch32 for the equivalence to the former HOF chain). */
+case class Sketch32Expr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Expr0.sketch32(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Expr0.sketch32($c)")
+  override protected def withNewChildInternal(c: Expression): Sketch32Expr = copy(c)
+  override def prettyName: String = "sketch32"
+}
+
+/** blocks32(a): Sketch32 over each element of an array<array<long>>. */
+case class Blocks32Expr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(ArrayType(LongType)))
+  override def dataType: DataType =
+    ArrayType(ArrayType(IntegerType, containsNull = false), containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Expr0.blocks32(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Expr0.blocks32($c)")
+  override protected def withNewChildInternal(c: Expression): Blocks32Expr = copy(c)
+  override def prettyName: String = "blocks32"
+}
+
 /** lcs_span_stats(head_a, head_b): the verify pass-2 span kernel as one
   * codegen'd expression — struct(max_span_len, span_frac, span_offset)
   * with the exact Java-String arithmetic of the former tuple14 map
@@ -580,6 +638,8 @@ object GraftFunctions {
       topK, blockFloor, cutoff, strictJ))
   def lcs_span_stats(a: Column, b: Column, useSa: Boolean): Column =
     column(LcsSpanStats(expression(a), expression(b), useSa))
+  def sketch32(c: Column): Column = column(Sketch32Expr(expression(c)))
+  def blocks32(c: Column): Column = column(Blocks32Expr(expression(c)))
 
   /** Register for SQL use: SELECT simhash64(text) FROM docs. */
   def register(spark: SparkSession): Unit = {

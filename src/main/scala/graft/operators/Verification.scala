@@ -61,14 +61,18 @@ import graft.model._
 object Verification {
 
   /** High-32-bit truncation of a sorted mixed-64 sketch column: monotonic
-    * (order-preserving on the signed sort), in-int-range by construction
-    * (ANSI-safe cast), deduped against the ~2⁻³²-probability in-doc
-    * collision so downstream intersection/union counting is set-exact. */
+    * (order-preserving on the signed sort), in-int-range by construction,
+    * deduped against the ~2⁻³²-probability in-doc collision so downstream
+    * intersection/union counting is set-exact. One codegen pass
+    * (optimization r06) — exact twin of the former
+    * array_distinct(transform(shiftright.cast)) chain, which ran an
+    * interpreted lambda per element (~3.3k/doc) on the payload map side;
+    * see Expr0.sketch32 for the sorted-input dedup-adjacent argument. */
   private[graft] def sketch32(c: Column): Column =
-    array_distinct(transform(c, v => shiftright(v, 32).cast("int")))
+    graft.functions.GraftFunctions.sketch32(c)
 
   private[graft] def blocks32(c: Column): Column =
-    transform(c, a => sketch32(a))
+    graft.functions.GraftFunctions.blocks32(c)
 
   /** Per-conversation evidence surfaces for the DuckDB replay oracle of
     * `flag_dedup_verified`: the exploded global sketch, the exploded
@@ -92,34 +96,57 @@ object Verification {
       size(col("block_sketches")).as("n_blocks"),
       length(col("head_text")).as("head_len")))
 
+  /** The pass-1 evidence projection over the joined (pair + payload_a/_b)
+    * table — split out so tooling can dump the pre-checkpoint plan (verify
+    * eagerly checkpoints it, so the stage plan is invisible from the
+    * returned Dataset). */
+  private def pass1Plan(joined: org.apache.spark.sql.DataFrame,
+                        cfg: DedupConfig): org.apache.spark.sql.DataFrame = {
+    val evCol = graft.functions.GraftFunctions.pair_evidence(
+      col("sketch_a"), col("block_sketches_a"), col("simhash_a"), col("simhash_bundle_a"),
+      col("sketch_b"), col("block_sketches_b"), col("simhash_b"), col("simhash_bundle_b"),
+      col("minhash_est"), cfg.patchTopK, cfg.blockVerifyJaccard,
+      cfg.simhashMaxDist, cfg.tierAJaccard)
+    joined.select(col("pair_key"), col("conv_a"), col("conv_b"),
+      col("minhash_est"), col("source"), evCol.as("ev"))
+  }
+
+  /** Dev plan access: the full pass-1 fragment (payload joins + evidence
+    * projection) as an UN-executed plan, for `.explain` dumps. */
+  private[graft] def pass1PlanFor(pairs: Dataset[CandidatePair],
+                                  sigs: Dataset[DocSig],
+                                  cfg: DedupConfig): org.apache.spark.sql.DataFrame =
+    pass1Plan(joinedFor(pairs, sigs), cfg)
+
+  private def joinedFor(pairs: Dataset[CandidatePair],
+                        sigs: Dataset[DocSig]): org.apache.spark.sql.DataFrame = {
+    val payload = sigs.select(col("conv_id"), col("simhash"), col("simhash_bundle"),
+      sketch32(col("sketch")).as("sketch"),
+      blocks32(col("block_sketches")).as("block_sketches"))
+    def side(s: String) = payload.toDF(payload.columns.map(_ + s): _*)
+    pairs.toDF()
+      .join(side("_a").hint("shuffle_hash"), col("conv_a") === col("conv_id_a"))
+      .join(side("_b").hint("shuffle_hash"), col("conv_b") === col("conv_id_b"))
+  }
+
   def verify(pairs: Dataset[CandidatePair], sigs: Dataset[DocSig],
              cfg: DedupConfig): Dataset[VerifiedPair] = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
-    // Pass-1 payload: everything the cheap evidence needs, NO head text,
-    // sketches truncated to ints — ~2.8 KB/doc at the bench corpus vs the
-    // full DocSig's ~16 KB, a ~5.7× cut of the (pair + payload_a) exchange
-    // feeding join2, which is this stage's dominant byte mover.
-    val payload = sigs.select($"conv_id", $"simhash", $"simhash_bundle",
-      sketch32($"sketch").as("sketch"),
-      blocks32($"block_sketches").as("block_sketches"))
+    // Pass-1 payload (see joinedFor): everything the cheap evidence needs,
+    // NO head text, sketches truncated to ints — ~2.8 KB/doc at the bench
+    // corpus vs the full DocSig's ~16 KB, a ~5.7× cut of the
+    // (pair + payload_a) exchange feeding join2, which is this stage's
+    // dominant byte mover. No pre-repartition: the conv_a equi-join
+    // re-shuffles the pair table anyway (an explicit pair_key spread here
+    // was pure wasted exchange), and per-task skew is already bounded by
+    // the per-doc candidate cap — a hot conversation contributes at most
+    // maxPairsPerDoc pairs per side.
+    val joined = joinedFor(pairs, sigs)
 
-    def side(s: String) = payload.toDF(payload.columns.map(_ + s): _*)
-
-    // No pre-repartition: the conv_a equi-join re-shuffles the pair table
-    // anyway (an explicit pair_key spread here was pure wasted exchange),
-    // and per-task skew is already bounded by the per-doc candidate cap —
-    // a hot conversation contributes at most maxPairsPerDoc pairs per side.
-    val joined = pairs.toDF()
-      .join(side("_a").hint("shuffle_hash"), col("conv_a") === col("conv_id_a"))
-      .join(side("_b").hint("shuffle_hash"), col("conv_b") === col("conv_id_b"))
-
-    val topK = cfg.patchTopK
-    val strictJ = cfg.tierAJaccard
     val cutoff = cfg.simhashMaxDist
     val useSa = cfg.spanEngine == "sa"
-    val blockFloor = cfg.blockVerifyJaccard
 
     // The per-pair evidence body runs as ONE codegen'd expression
     // (graft.functions.PairEvidenceExpr — same TextKernel calls in the same
@@ -130,13 +157,7 @@ object Verification {
     // (~0.75 s per pipeline rep) and its object boundary re-boxed every
     // sketch array per row; the expression form plans in milliseconds and
     // feeds the evidence loop ArrayData views with zero copies.
-    val evCol = graft.functions.GraftFunctions.pair_evidence(
-      $"sketch_a", $"block_sketches_a", $"simhash_a", $"simhash_bundle_a",
-      $"sketch_b", $"block_sketches_b", $"simhash_b", $"simhash_bundle_b",
-      $"minhash_est", topK, blockFloor, cutoff, strictJ)
-    val pass1 = joined
-      .select($"pair_key", $"conv_a", $"conv_b", $"minhash_est", $"source",
-        evCol.as("ev"))
+    val pass1 = pass1Plan(joined, cfg)
       // eager stage boundary: the fat join above must run ONCE, not once
       // per consuming branch below (and the checkpoint is narrow — the
       // evidence struct, ~60 B/row); checkpointing the UN-flattened struct

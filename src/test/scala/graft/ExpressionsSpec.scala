@@ -147,6 +147,25 @@ class ExpressionsSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(viaCast))
   }
 
+  test("Sketch32/Blocks32 ≡ array_distinct(transform(shiftright.cast)) on sorted inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, transform => atransform, shiftright}
+    // sorted ascending with: negative longs, values sharing the high 32
+    // bits (adjacent dedup must fire), and int-boundary values
+    val a = Array(Long.MinValue, Long.MinValue + 5L, -4294967296L, -1L,
+      0L, 7L, (3L << 32) | 1L, (3L << 32) | 9L, Long.MaxValue - 1, Long.MaxValue)
+    val blocks = Array(a.take(4), Array.empty[Long], a.drop(4))
+    val df = Seq((a, blocks)).toDF("sk", "bk")
+    val viaKernel = df.select(GraftFunctions.sketch32($"sk")).head().getSeq[Int](0)
+    val viaHof = df.select(array_distinct(
+      atransform($"sk", v => shiftright(v, 32).cast("int")))).head().getSeq[Int](0)
+    assert(viaKernel === viaHof)
+    val bKernel = df.select(GraftFunctions.blocks32($"bk")).head().getSeq[Seq[Int]](0)
+    val bHof = df.select(atransform($"bk", x => array_distinct(
+      atransform(x, v => shiftright(v, 32).cast("int"))))).head().getSeq[Seq[Int]](0)
+    assert(bKernel === bHof)
+  }
+
   test("TopKMean aggregator: mean of k largest, partial-merge safe") {
     import spark.implicits._
     val topk = udaf(TopKMean(3))
