@@ -46,6 +46,31 @@ object Expr0 {
   def minhashEst32(a: ArrayData, b: ArrayData): Double =
     TextKernel.minhashEstimate32(a.toIntArray(), b.toIntArray())
 
+  /** The LSH item generator's per-doc rows (see LshItemsExpr): band keys
+    * (already band-index-mixed by TextKernel.bandKeys) with their band id,
+    * then bundle-variant bucket keys xxhash64(v_id, v_hash) — the EXACT
+    * value Spark's `xxhash64(i, v)` computes (hashInt chained into hashLong,
+    * seed 42; ExpressionsSpec pins the parity), so the dumped oracle surface
+    * (pipe_variants/minhash_doc_variants, which use the Spark builtin)
+    * stays bit-identical to the engine's bucket keys. */
+  def lshItems(bands: ArrayData, bundle: ArrayData): ArrayData = {
+    val nb = bands.numElements()
+    val nv = bundle.numElements()
+    val out = new Array[Any](nb + nv)
+    var i = 0
+    while (i < nb) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(bands.getLong(i), i, 0)
+      i += 1
+    }
+    var j = 0
+    while (j < nv) {
+      out(nb + j) = org.apache.spark.sql.catalyst.InternalRow(
+        Hashing.xxh64Long(bundle.getLong(j), Hashing.xxh64Int(j, 42L)), -1, 1)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def packLowBytes(a: ArrayData): Array[Byte] = {
     val n = a.numElements()
     val out = new Array[Byte](n)
@@ -490,6 +515,36 @@ case class MinhashEst8Expr(left: Expression, right: Expression)
   override def prettyName: String = "minhash_est8"
 }
 
+/** lsh_items(bands, simhash_bundle): the candidate join's unified bucket-item
+  * rows — struct(bkey, band_id, src) per band key (src 0) and per bundle
+  * variant (bkey = xxhash64(v_id, v_hash), band_id −1, src 1) — as ONE
+  * codegen kernel call per doc. Replaces the former
+  * explode(concat(transform(bands, …), transform(simhash_bundle, …)))
+  * chain, whose higher-order-function lambdas ran INTERPRETED per element
+  * (~68 structs/doc; measured the band-exchange map stage's dominant CPU),
+  * and — because LambdaFunction subtrees get fresh exprIds per plan
+  * reference and never canonicalize equal — blocked exchange reuse when two
+  * consumers read the item table. Values bit-identical (ExpressionsSpec). */
+case class LshItemsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ADT] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LshItemsExpr.schema
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Expr0.lshItems(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Expr0.lshItems($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LshItemsExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "lsh_items"
+}
+
+object LshItemsExpr {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("bkey", LongType, nullable = false),
+    StructField("band_id", IntegerType, nullable = false),
+    StructField("src", IntegerType, nullable = false))), containsNull = false)
+}
+
 /** pair_evidence(sketch_a, blocks_a, simhash_a, bundle_a, sketch_b,
   * blocks_b, simhash_b, bundle_b, minhash_est): the verify pass-1 evidence
   * kernel as one codegen'd expression returning a struct — replaces the
@@ -625,6 +680,8 @@ object GraftFunctions {
   def minhash_est32(a: Column, b: Column): Column =
     column(MinhashEst32Expr(expression(a), expression(b)))
   def pack_low_bytes(c: Column): Column = column(PackLowBytes(expression(c)))
+  def lsh_items(bands: Column, bundle: Column): Column =
+    column(LshItemsExpr(expression(bands), expression(bundle)))
   def minhash_est8(a: Column, b: Column): Column =
     column(MinhashEst8Expr(expression(a), expression(b)))
   def hyperplane_sig(c: Column, nPlanes: Int = 8, seed: Long = 7L): Column =

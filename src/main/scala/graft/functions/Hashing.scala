@@ -97,6 +97,18 @@ object Hashing {
     h
   }
 
+  /** xxHash64 of a single int (4 little-endian bytes) — the standard XXH64
+    * 4-byte tail, identical to Spark's `xxhash64` over one IntegerType
+    * column (ExpressionsSpec pins the parity; the LSH item generator chains
+    * it with [[xxh64Long]] to reproduce `xxhash64(v_id, v_hash)` exactly). */
+  def xxh64Int(v: Int, seed: Long): Long = {
+    var h = seed + P5 + 4L
+    h ^= (v & 0xFFFFFFFFL) * P1
+    h = rotl(h, 23) * P2 + P3
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
   // ---- SplitMix64: seed-stream generator for minhash permutations ----
   /** SplitMix64 step (public algorithm; used to derive per-perm params). */
   def splitmix64(x0: Long): Long = {

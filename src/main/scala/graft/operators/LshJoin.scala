@@ -68,6 +68,64 @@ object LshJoin {
   private final val SrcLsh = 0
   private final val SrcBundle = 1
 
+  /** The unified (band ∪ bundle-variant) bucket-item table the candidate
+    * join buckets on — one codegen lsh_items generator pass over the sigs
+    * checkpoint (see the provenance note in `candidates`). Exposed for the
+    * bucket-phase plan dumps (the phase is checkpointed inside
+    * saltedBucketPairs, so its plan is invisible from the returned pairs). */
+  private[graft] def itemsFor(sigs: Dataset[DocSig]): DataFrame =
+    sigs.select(col("conv_id"),
+        explode(graft.functions.GraftFunctions.lsh_items(
+          col("bands"), col("simhash_bundle"))).as("e"))
+      .select(col("conv_id"), col("e.bkey").as("bkey"),
+        col("e.band_id").as("band_id"), col("e.src").as("src"))
+
+  /** The bucket phase's sized/salted/grouped member table — one row per
+    * (bkey, salt) sub-bucket with the sorted, cap-bounded member list.
+    * Exposed un-checkpointed for plan dumps/specs (saltedBucketPairs
+    * checkpoints it, which hides the plan from the returned Dataset). */
+  private[graft] def groupedMembers(items: DataFrame, cap: Int,
+                                    obs: Option[Observation]): DataFrame = {
+    val parts = items.sparkSession.sessionState.conf.numShufflePartitions
+    val itemsP = items.repartition(parts, col("bkey"))
+    // buckets are source-homogeneous (disjoint key spaces), so min(src) is
+    // the bucket's source; the observation reports the LSH band-bucket
+    // funnel only — same counts the old per-rep-row window flags produced,
+    // now over one row per bucket
+    val sized = itemsP.groupBy(col("bkey")).agg(
+      count(lit(1)).as("bsz"), min(col("src")).as("bsrc"))
+    val sizedObs = obs.map(o => sized.observe(o,
+        sum(when(col("bsrc") === SrcLsh, 1L).otherwise(0L)).as("total_buckets"),
+        sum(when(col("bsrc") === SrcLsh && col("bsz") >= 2, 1L).otherwise(0L)).as("paired_buckets"),
+        sum(when(col("bsrc") === SrcLsh && col("bsz") > cap, 1L).otherwise(0L)).as("salted_buckets")))
+      .getOrElse(sized)
+    // paired buckets only — the inner join below replicates the old
+    // bsz >= 2 filter (singleton-bucket rows simply never match)
+    val paired = sizedObs.filter(col("bsz") >= 2)
+      .withColumn("n_salts", ceil(col("bsz").cast("double") / cap).cast("int"))
+      .select(col("bkey").as("bkey_s"), col("n_salts"))
+    // SHUFFLE_HASH, build = the paired-bucket table: both sides ride the
+    // itemsP exchange (agg and probe distributions are satisfied by
+    // HashPartitioning(bkey, parts)), so the join adds NO exchange and the
+    // build map holds only paired buckets (|paired|/parts entries per task)
+    val b2 = itemsP.join(paired.hint("shuffle_hash"), col("bkey") === col("bkey_s"))
+      .withColumn("salt",
+        when(col("n_salts") <= 1, lit(0))
+          .otherwise(pmod(xxhash64(col("conv_id")), col("n_salts")).cast("int")))
+      .select(col("conv_id"), col("bkey"), col("band_id"), col("src"), col("salt"))
+    // Within-bucket member grouping — NOT a self-join. A (bkey, salt)
+    // group is cap-bounded by construction, so its member list is a safe
+    // in-task object (≤ ~cap strings). The groupBy rides the item
+    // exchange's HashPartitioning(bkey) via the partitioning-subset rule,
+    // so the whole bucket phase — sizing, salting, member grouping — is
+    // ONE exchange wide. band_id/src are bucket-constant (band keys mix
+    // the band index; variant keys mix v_id; key spaces disjoint whp), so
+    // min() is the same provenance the old x-side projection carried.
+    b2.groupBy(col("bkey"), col("salt"))
+      .agg(sort_array(collect_list(col("conv_id"))).as("members"),
+        min(col("band_id")).as("band_id"), min(col("src")).as("src"))
+  }
+
   /**
    * One pass of bucket sizing + salting + within-bucket pairing + bridges
    * for BOTH sources at once. `items` must have (conv_id, bkey:long,
@@ -80,77 +138,49 @@ object LshJoin {
    */
   private def saltedBucketPairs(items: DataFrame, cap: Int,
                                 obs: Option[Observation]): DataFrame = {
-    // Bucket sizing rides ONE exchange, shared by every consumer below.
-    // Explicit-N (REPARTITION_BY_NUM) rather than letting the first
-    // consumer insert an ENSURE_REQUIREMENTS shuffle: AQE's coalescing
-    // floors partitions at minPartitionSize (1 MB), so the ~27 MB band
-    // exchange at the bench corpus ran its reduces in 16 tasks on 32
-    // cores — the same bytes-vs-work convoy the `spread` note below
-    // documents. Pinning at the data-sized shuffle-partition count
-    // (sizeShuffleForCorpus) keeps reduces full-width; at 100-TB scale
-    // the exchange is far above the coalesce floor and the plan is
-    // unchanged.
+    // Bucket sizing (optimization r06, second rework): ONE explicit
+    // REPARTITION_BY_NUM exchange of the 24 B/row item table, read by BOTH
+    // consumers below — the bucket-size hash aggregate (build) and the salt
+    // join probe — through a ReusedExchange. The former full-frame window
+    // (count + min-rep over partitionBy(bkey)) buffered every item row
+    // through ~one window GROUP PER ROW (buckets are overwhelmingly
+    // singletons: 1.36M rows / 1.3M groups at the bench corpus) and was
+    // measured ~10 s of the stage's task time; the aggregate computes the
+    // same (bsz, src) per bucket in one hash pass, and the bsz ≥ 2 filter
+    // then shrinks the JOIN BUILD SIDE to paired buckets only (a few % of
+    // buckets), so the probe drops singleton rows exactly like the window's
+    // filter did. An earlier agg+join attempt (round-6 batch 3) was
+    // REVERTED because with the HOF item generator each branch re-ran the
+    // interpreted transform chain; with the codegen lsh_items kernel the
+    // duplicated generator pass is cheap (~2 s task time at the bench
+    // corpus) and the agg branch's copy of this exchange column-prunes to
+    // (bkey, src) — 12 B/row, NARROWER than a partial-agg row would be on
+    // these ~all-distinct keys — so the two map passes together ship less
+    // than the old single exchange plus its window pass cost
+    // (plans/r06/pipeline_bucket_phase.txt pins the two-branch shape).
     //
-    // Shape: count + representative-flag window aggregates over
-    // partitionBy(bkey) — ONE pass over ONE exchange. A hash-aggregate +
-    // co-partitioned join-back was tried this round (optimization r06) and
-    // REVERTED: Catalyst column-prunes the aggregate branch's input, so the
-    // two reads of the "same" exchange never canonicalize equal and the
-    // item GENERATOR (sigs scan + band/variant explode) runs twice — one
-    // extra shuffle stage, ~2× the map-side task time, and a measured
-    // 2.3→3.0 s warm stage regression. The window's in-partition sort is
-    // NOT the bottleneck at this corpus; the single shared exchange is
-    // worth more than the sort costs.
-    val parts = items.sparkSession.sessionState.conf.numShufflePartitions
-    val wB = Window.partitionBy(col("bkey"))
-    val withSz = items.repartition(parts, col("bkey"))
-      .withColumn("bsz", count(lit(1)).over(wB))
-      // conv_id is unique within a bucket (band keys mix the band index;
-      // variant keys mix v_id), so min(conv_id) flags exactly one rep row
-      .withColumn("rep", min(col("conv_id")).over(wB) === col("conv_id"))
-    // buckets are source-homogeneous (disjoint key spaces); observation
-    // reports the LSH band-bucket funnel only, counted on rep rows
-    val sizedObs = obs.map(o => withSz.observe(o,
-        sum(when(col("src") === SrcLsh && col("rep"), 1L).otherwise(0L)).as("total_buckets"),
-        sum(when(col("src") === SrcLsh && col("rep") && col("bsz") >= 2, 1L).otherwise(0L)).as("paired_buckets"),
-        sum(when(col("src") === SrcLsh && col("rep") && col("bsz") > cap, 1L).otherwise(0L)).as("salted_buckets")))
-      .getOrElse(withSz)
-    val b2 = sizedObs.filter(col("bsz") >= 2)
-      .withColumn("n_salts", ceil(col("bsz").cast("double") / cap).cast("int"))
-      .withColumn("salt",
-        when(col("n_salts") <= 1, lit(0))
-          .otherwise(pmod(xxhash64(col("conv_id")), col("n_salts")).cast("int")))
-      .select(col("conv_id"), col("bkey"), col("band_id"), col("src"),
-        col("salt"), col("n_salts"))
-    // (the explicit-N repartition above replaces the window's own
-    // ENSURE_REQUIREMENTS shuffle one-for-one: ClusteredDistribution(bkey)
-    // is satisfied by HashPartitioning(bkey, parts), so exchange count is
-    // unchanged while AQE's 1 MB-floor coalescing — 16 tasks on 32 cores
-    // at the bench corpus — no longer applies; see the pair-chain note in
-    // `candidates`)
+    // Explicit-N (REPARTITION_BY_NUM) rather than an ENSURE_REQUIREMENTS
+    // shuffle: AQE's coalescing floors partitions at minPartitionSize
+    // (1 MB), so the ~27 MB item exchange at the bench corpus would run its
+    // reduces in 16 tasks on 32 cores while per-row work dwarfs the bytes.
+    // At 100-TB scale the exchange is far above the coalesce floor and the
+    // plan is unchanged.
+    //
+    // The grouped member table is materialized EAGERLY (localCheckpoint —
+    // the pipeline's stage idiom): it has TWO consumers, the pair
+    // enumeration and the bridge chain, and collect_list is flagged
+    // non-deterministic so its subtree can never canonicalize equal for
+    // exchange reuse — un-checkpointed, the bridge branch re-ran the whole
+    // sizing/salt/collect chain (measured ~5 s of duplicated task time per
+    // run). The checkpoint is compact (one row per (bkey, salt); each
+    // conv_id appears once per band, sorted lists dictionary-compress) and
+    // disk-spillable; its blocks are released by the ContextCleaner when
+    // the candidate Dataset is dropped.
+    val grouped = groupedMembers(items, cap, obs).localCheckpoint(true)
 
-    // Within-bucket pairs by GROUPED ENUMERATION, not a self-join. A
-    // (bkey, salt) group is cap-bounded by construction, so its member
-    // list is a safe in-task object (≤ ~cap strings) and pair emission is
-    // a generator chain — while the former x/y self-join re-planned the
-    // explode→exchange→window chain per side (Catalyst relation dedup
-    // gives the right side fresh exprIds, so the two band-table exchanges
-    // never canonicalize equal) and shuffled the full band table TWICE
-    // more. The groupBy rides the sizing window's HashPartitioning(bkey)
-    // via the partitioning-subset rule, so the whole bucket phase — sizing,
-    // member grouping, pair enumeration, bridge chain — is ONE exchange
-    // wide; in the memory-bus-bound candidate stage the removed ~230 MB of
-    // band-table shuffle was the dominant remaining byte mover.
-    // band_id/src are bucket-constant (band keys mix the band index;
-    // variant keys mix v_id; key spaces disjoint whp), so min() is the
-    // same provenance the old x-side projection carried.
-    val grouped = b2.groupBy(col("bkey"), col("salt"))
-      .agg(sort_array(collect_list(col("conv_id"))).as("members"),
-        min(col("band_id")).as("band_id"), min(col("src")).as("src"))
-
-    // Spread the cap-bounded groups before enumeration: the groupBy rode
-    // the sizing window's bkey-only partitioning (zero exchange), which
-    // would leave ALL sub-buckets of a mega-family in one task — the same
+    // Spread the cap-bounded groups before enumeration: the grouped
+    // checkpoint preserves the bkey-only partition layout, which would
+    // leave ALL sub-buckets of a mega-family in one task — the same
     // co-location the old self-join inherited via the subset rule. This
     // exchange ships ONE compact row per (bkey, salt) (measured ~3% of a
     // band-table shuffle: conv_ids appear once, sorted lists dictionary-
@@ -187,12 +217,10 @@ object LshJoin {
     // buckets (n_salts-1 extra pairs per bucket — O(bsz/cap), negligible).
     // The rep of a sub-bucket is the head of its sorted member list, and
     // its bridge partner is the NEXT salt's rep — a lead() window directly
-    // over `grouped`, which still rides the sizing exchange's bkey
-    // partitioning: sort-only, NO exchange, no rank self-join. This branch
-    // re-plans the aggregation chain (collect_list is flagged
-    // non-deterministic, so its exchange can never canonicalize equal for
-    // reuse) but reads the band table through a ReusedExchange — the
-    // duplicate is ~0.5 s of parallel work, not a second band shuffle.
+    // over the CHECKPOINTED `grouped` table: the window's bkey exchange
+    // over one-row-per-sub-bucket input is negligible, and the checkpoint
+    // means this second consumer re-runs nothing (the un-checkpointed
+    // branch used to replay the whole sizing/salt/collect chain per run).
     // No over-cap filter is needed: a bucket with a single sub-bucket has
     // no lead partner and emits nothing.
     val head = element_at(col("members"), 1)
@@ -231,18 +259,15 @@ object LshJoin {
     // Both item sources explode out of ONE pass over the sigs checkpoint
     // (optimization r06): the former bandItems ∪ variantItems union read —
     // and decoded — the signature blocks twice and scheduled two map
-    // stages into the bucket exchange; one concat'd generator halves both.
-    // Rows and values are identical (same keys, ids, src codes).
-    val items = sigs.select(col("conv_id"),
-        explode(concat(
-          transform(col("bands"),
-            (k, i) => struct(k.as("bkey"), i.as("band_id"), lit(SrcLsh).as("src"))),
-          transform(col("simhash_bundle"),
-            (v, i) => struct(xxhash64(i, v).as("bkey"),
-              lit(-1).as("band_id"), lit(SrcBundle).as("src"))))).as("e"))
-      .select(col("conv_id"), col("e.bkey").as("bkey"),
-        col("e.band_id").as("band_id"), col("e.src").as("src"))
-    val allPairs = saltedBucketPairs(items, cfg.bandBucketCap, bucketObs)
+    // stages into the bucket exchange; one generator halves both. The item
+    // struct array comes from the codegen lsh_items kernel (one tight loop
+    // per doc) rather than the explode(concat(transform×2)) chain, whose
+    // HOF lambdas ran interpreted per element AND blocked exchange reuse
+    // across the sizing aggregate's two reads (fresh lambda exprIds never
+    // canonicalize). Rows and values are identical (same keys — variant
+    // bkey reproduces Spark's xxhash64(v_id, v_hash) bit-for-bit, spec-
+    // pinned — same ids, same src codes).
+    val allPairs = saltedBucketPairs(itemsFor(sigs), cfg.bandBucketCap, bucketObs)
 
     // Pair dedup + the MIN-BAND-HITS prefilter. With b=64/r=2 banding the
     // weakest detectable transform (J ≈ 0.42) collides in ~11 bands, while

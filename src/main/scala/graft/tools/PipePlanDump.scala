@@ -27,6 +27,11 @@ object PipePlanDump {
     val sigs = Signatures.compute(Reassembly.assemble(corpus), cfg)
       .localCheckpoint(true)
     dump("pipeline_candidates", LshJoin.candidates(sigs, cfg).toDF())
+    // the bucket phase (item generator → sizing agg → salt join → grouped
+    // members) is eagerly checkpointed inside saltedBucketPairs, so its
+    // plan is dumped from the exposed pre-checkpoint fragment
+    dump("pipeline_bucket_phase",
+      LshJoin.groupedMembers(LshJoin.itemsFor(sigs), cfg.bandBucketCap, None))
     val cands = LshJoin.candidates(sigs, cfg).localCheckpoint(true)
     // verify pass-1 (the payload joins + evidence projection) is eagerly
     // checkpointed inside verify(), so its plan is dumped from the exposed

@@ -166,6 +166,27 @@ class ExpressionsSpec extends SparkSpec {
     assert(bKernel === bHof)
   }
 
+  test("lsh_items ≡ explode(concat(transform(bands), transform(bundle))) incl. Spark xxhash64 parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat => aconcat, transform => atransform, struct, lit, xxhash64, explode}
+    // arbitrary band keys (negative, extreme) and bundle hashes; also an
+    // empty-bundle and empty-bands shape
+    val rows = Seq(
+      (Array(-1L, 0L, Long.MinValue, Long.MaxValue, 42L),
+       Array(7L, -9223372036854775807L, 0L, 123456789L)),
+      (Array.empty[Long], Array(5L)),
+      (Array(99L), Array.empty[Long]))
+    val df = rows.toDF("bands", "simhash_bundle")
+    val viaKernel = df.select(explode(GraftFunctions.lsh_items($"bands", $"simhash_bundle")).as("e"))
+      .select($"e.bkey", $"e.band_id", $"e.src").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val viaHof = df.select(explode(aconcat(
+        atransform($"bands", (k, i) => struct(k.as("bkey"), i.as("band_id"), lit(0).as("src"))),
+        atransform($"simhash_bundle", (v, i) => struct(xxhash64(i, v).as("bkey"),
+          lit(-1).as("band_id"), lit(1).as("src"))))).as("e"))
+      .select($"e.bkey", $"e.band_id", $"e.src").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(viaKernel === viaHof) // variant bkey = Spark's xxhash64(v_id, v_hash), bit-exact
+  }
+
   test("TopKMean aggregator: mean of k largest, partial-merge safe") {
     import spark.implicits._
     val topk = udaf(TopKMean(3))
