@@ -145,12 +145,21 @@ object SparkEntry {
     // generator's child already holds (n = 0 rows simply never match the
     // inner joins below, exactly like their absence from the old count)
     val sz = base.select($"doc_id", size($"ga").cast("long").as("n"))
-    // df via window + grouped member list: one exchange of the shingle
-    // table feeds sizing AND pair enumeration (the groupBy rides the
-    // window's hashpartitioning); singletons drop for free
-    val rare = grams
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+    // df via hash aggregate + co-partitioned join-back (optimization r06,
+    // same rework as the LSH bucket phase): the former full-frame window
+    // buffered every gram row through ~one window group per row (shingles
+    // are overwhelmingly df=1), while the aggregate counts them in one
+    // hash pass and its df∈[2,cap] output becomes the SHUFFLE_HASH build
+    // side — the inner join drops singleton-shingle rows exactly like the
+    // window's filter did, and the member groupBy rides the explicit gram
+    // exchange. The duplicated generator branch (the agg side re-runs the
+    // codegen trigram kernel over the docs scan) is ~0.1 s — the kernel
+    // already re-runs for the doc-size branches below, by design.
+    val gramsP = grams.repartition(parts, $"sh")
+    val dfTbl = gramsP.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= ShingleDfCap)
+      .select($"sh".as("sh_d"))
+    val rare = gramsP.join(dfTbl.hint("shuffle_hash"), $"sh" === $"sh_d")
       .groupBy($"sh").agg(sort_array(collect_list($"doc_id")).as("ds"))
     // sorted members ⇒ enumerating j > i yields doc_a < doc_b directly
     val inter = rare
