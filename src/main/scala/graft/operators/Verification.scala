@@ -60,6 +60,13 @@ import graft.model._
  */
 object Verification {
 
+  /** Below this many triggered (needSpan) pairs, the pass-2 heads joins
+    * prune the heads table with a broadcast left-semi of the triggered
+    * endpoint ids (≤ 2 ids/pair × ~20 B ≈ 20 MB broadcast worst case at
+    * the threshold) before the heads exchange ships a byte; above it the
+    * unfiltered shuffle plan is unchanged. See the pass-2 note in verify. */
+  val SpanHeadsBroadcastMaxPairs: Long = 500000L
+
   /** High-32-bit truncation of a sorted mixed-64 sketch column: monotonic
     * (order-preserving on the signed sort), in-int-range by construction,
     * deduped against the ~2⁻³²-probability in-doc collision so downstream
@@ -185,14 +192,38 @@ object Verification {
     // yields the span's alignment offset (X10 analog). Heads join in
     // per TRIGGERED pair — the untriggered majority never ships a byte
     // of text.
-    val heads = sigs.select($"conv_id", $"head_text")
+    //
+    // Heads prefilter (optimization r06, guide §3.2 reduce-the-big-side):
+    // head_text is the fattest per-doc payload (~headChars bytes), and the
+    // two SHUFFLE_HASH joins below shuffle the WHOLE heads table to serve
+    // only the triggered slice's endpoints (measured 67 MB of a ~110 MB
+    // verify-stage shuffle at the bench corpus for ~8% of docs actually
+    // touched). The triggered pair count is a cheap count over the pass-1
+    // checkpoint, so when the slice is small the distinct endpoint ids
+    // BROADCAST into a left-semi prune of the heads scan — map-side, before
+    // the heads exchange ships a byte. Above the threshold (ids no longer
+    // safely broadcastable) the unfiltered plan is unchanged — the same
+    // adaptive dispatch-by-observed-size pattern as TierGate's attrs
+    // broadcast and CC's driver-local path. Plan choice only: the semi
+    // join drops rows the inner pair joins would drop anyway.
+    val spanned0 = pass1.filter($"need_span").drop("need_span")
+    val nTrig = spanned0.count() // cached scan of the pass-1 checkpoint
+    val allHeads = sigs.select($"conv_id", $"head_text")
+    val heads =
+      if (nTrig <= Verification.SpanHeadsBroadcastMaxPairs) {
+        // no distinct(): a left-semi broadcast build dedups keys in its
+        // hash relation anyway, and the distinct cost an exchange + agg job
+        val ids = spanned0
+          .select(explode(array($"conv_a", $"conv_b")).as("conv_id"))
+        allHeads.join(broadcast(ids), Seq("conv_id"), "left_semi")
+      } else allHeads
     // span kernel as one codegen'd expression (LcsSpanStats — identical
     // SuffixSpans/TextKernel calls and Java-String length arithmetic as the
     // former tuple14 map); the three extractions below share one evaluation
     // via codegen subexpression elimination over the identical subtree
     val spCol = graft.functions.GraftFunctions.lcs_span_stats(
       $"head_a", $"head_b", useSa)
-    val spanned = pass1.filter($"need_span").drop("need_span")
+    val spanned = spanned0
       .join(heads.select($"conv_id".as("conv_a"), $"head_text".as("head_a"))
         .hint("shuffle_hash"), "conv_a")
       .join(heads.select($"conv_id".as("conv_b"), $"head_text".as("head_b"))
