@@ -26,10 +26,13 @@ object IntraDup {
     * repeatedSpans and its oracle surface so the two can never drift.
     * Returns (tokenCount, hashes); hashes is empty when n < k. */
   private def positionalShingles(text: String, k: Int): (Int, Array[Long]) = {
-    val toks = TextKernel.tokens(TextKernel.normalize(text))
-    val n = toks.length
+    // fused tokenize+hash (TextKernel.tokenHashesFromNorm): bit-identical
+    // to xxh64(token, TokenSeed) per split token — TextKernelSpec pins the
+    // parity — at O(1) allocations instead of one String per token
+    // (optimization r06; the per-token churn was this kernel's top cost)
+    val th = TextKernel.tokenHashesFromNorm(TextKernel.normalize(text))
+    val n = th.length
     if (n < k) return (n, Array.emptyLongArray)
-    val th = toks.map(t => graft.functions.Hashing.xxh64(t, TextKernel.TokenSeed))
     val hs = new Array[Long](n - k + 1)
     var i = 0
     while (i + k <= n) {
