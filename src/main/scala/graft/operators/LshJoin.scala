@@ -138,10 +138,10 @@ object LshJoin {
    */
   private def saltedBucketPairs(items: DataFrame, cap: Int,
                                 obs: Option[Observation]): DataFrame = {
-    // Bucket sizing (optimization r06, second rework): ONE explicit
-    // REPARTITION_BY_NUM exchange of the 24 B/row item table, read by BOTH
+    // Bucket sizing (optimization r06, second rework): explicit
+    // REPARTITION_BY_NUM exchanges of the 24 B/row item table feed the two
     // consumers below — the bucket-size hash aggregate (build) and the salt
-    // join probe — through a ReusedExchange. The former full-frame window
+    // join probe. The former full-frame window
     // (count + min-rep over partitionBy(bkey)) buffered every item row
     // through ~one window GROUP PER ROW (buckets are overwhelmingly
     // singletons: 1.36M rows / 1.3M groups at the bench corpus) and was

@@ -199,7 +199,7 @@ object Verification {
     // only the triggered slice's endpoints (measured 67 MB of a ~110 MB
     // verify-stage shuffle at the bench corpus for ~8% of docs actually
     // touched). The triggered pair count is a cheap count over the pass-1
-    // checkpoint, so when the slice is small the distinct endpoint ids
+    // checkpoint, so when the slice is small the triggered endpoint ids
     // BROADCAST into a left-semi prune of the heads scan — map-side, before
     // the heads exchange ships a byte. Above the threshold (ids no longer
     // safely broadcastable) the unfiltered plan is unchanged — the same
